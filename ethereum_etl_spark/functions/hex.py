@@ -1,0 +1,97 @@
+"""Hex / address normalization column functions.
+
+Re-expresses (from scratch, columnar) the scalar helpers of the reference:
+- hex_to_dec       /root/reference/ethereumetl/utils.py:46-54 (tolerant int(x,16))
+- to_normalized_address /root/reference/ethereumetl/utils.py:84-87 (lowercase)
+- chunk_string / split_to_words / word_to_address
+  /root/reference/ethereumetl/service/token_transfer_extractor.py:199-214
+
+Hot-path policy (BASELINE.json input_hint — no per-row Python):
+- values that fit in 63 bits → native ``conv`` (JVM, whole-stage codegen);
+- uint256 → Arrow-batched pandas UDF parsing into Decimal(38,0) with
+  overflow→NULL (lossy over 38 digits, same compromise as the reference's
+  BigQuery schema, /root/reference/docs/limitations.md:9-12).
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DecimalType, LongType
+
+_DEC38_MAX = 10**38
+
+
+def _strip0x(c: Column) -> Column:
+    return F.when(c.startswith("0x"), F.substring(c, 3, 2_000_000)).otherwise(c)
+
+
+def hex_to_long(c: Column) -> Column:
+    """0x-hex → long. JVM-side (``conv``), safe for < 2^63 only.
+
+    Use for gas/indexes/timestamps/block numbers. Empty/'0x'/NULL → NULL.
+    """
+    h = _strip0x(c)
+    return F.when(
+        c.isNull() | (F.length(h) == 0), F.lit(None).cast(LongType())
+    ).otherwise(F.conv(h, 16, 10).cast(LongType()))
+
+
+@pandas_udf(DecimalType(38, 0))
+def _hex_to_dec38_udf(s: pd.Series) -> pd.Series:
+    def parse(x):
+        if x is None:
+            return None
+        try:
+            v = int(x, 16) if isinstance(x, str) and x.startswith("0x") else int(x)
+        except (ValueError, TypeError):
+            return None
+        # overflow channel: NULL above Decimal(38,0), mirroring the overflow
+        # diagnostics path of clickhouse_exporter.py:120-143
+        return Decimal(v) if -_DEC38_MAX < v < _DEC38_MAX else None
+
+    return s.map(parse)
+
+
+def hex_to_dec38(c: Column) -> Column:
+    """0x-hex (or decimal string) → Decimal(38,0); NULL on overflow/garbage.
+
+    Arrow-batched pandas UDF — the one genuinely-Python scalar (uint256 beats
+    both ``conv`` (64-bit) and JVM Decimal parsing of hex).
+    """
+    return _hex_to_dec38_udf(c)
+
+
+def to_normalized_address(c: Column) -> Column:
+    """Lowercase 0x address; None-safe (utils.py:84-87)."""
+    return F.lower(c)
+
+
+def split_to_words(data: Column) -> Column:
+    """0x-hex data → array of 64-hex-char words (token_transfer_extractor.py:199-205).
+
+    Pure column ops: strip 0x, slice into 64-char chunks with a sequence+
+    transform — stays inside codegen, no Python.
+    """
+    h = _strip0x(data)
+    n_words = (F.length(h) / 64).cast("int")
+    return F.when(
+        data.isNull() | (F.length(h) == 0), F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_words - 1),
+            lambda i: F.substring(h, F.lit(1) + i * 64, F.lit(64)),
+        )
+    )
+
+
+def word_to_address(word: Column) -> Column:
+    """64-char hex word → 0x + last 40 chars, lowercased
+    (token_transfer_extractor.py:208-214)."""
+    return F.when(word.isNull(), F.lit(None)).otherwise(
+        F.lower(F.concat(F.lit("0x"), F.substring(word, -40, 40)))
+    )

@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the CDC/ingest workload.
+
+Scale notes (100 TB / 1000-executor design intent, tested on local[32]):
+- AQE on: runtime coalesce of shuffle partitions, skew-join splitting for the
+  hot-contract skew the reference caps by hand
+  (/root/reference/ethereumetl/jobs/enrich_dex_trades_job.py:429-430).
+- Arrow on: every Python-side decode is an Arrow-batched pandas UDF, never
+  per-row Python (BASELINE.json input_hint).
+- shuffle.partitions defaults to cores locally; on a real cluster set it to
+  2-3x total cores or rely on AQE coalesce from a high initial value.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "spark-chain-cdc",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with the engine's standard config."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        n = cpus if master.startswith("local[") else "200"
+        try:
+            shuffle_partitions = int(master[6:-1]) if master[6:-1].isdigit() else int(n)
+        except ValueError:
+            shuffle_partitions = 32
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

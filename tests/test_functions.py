@@ -1,0 +1,79 @@
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from ethereum_etl_spark.functions.hex import (
+    hex_to_dec38,
+    hex_to_long,
+    split_to_words,
+    to_normalized_address,
+    word_to_address,
+)
+from ethereum_etl_spark.functions.ids import item_id, item_timestamp
+from ethereum_etl_spark.functions.keccak import (
+    event_topic,
+    function_selector,
+    keccak256,
+    keccak256_udf,
+)
+
+
+def test_keccak_known_vectors():
+    # eth_utils.keccak parity (token_transfer_extractor.py:47-51)
+    assert (
+        keccak256("") == "0xc5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470"
+    )
+    assert (
+        event_topic("Transfer(address,address,uint256)")
+        == "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+    )
+    assert function_selector("balanceOf(address)") == "70a08231"
+    # multi-block message (> 136-byte rate)
+    assert keccak256("a" * 300) == keccak256(b"a" * 300)
+
+
+def test_keccak_udf(spark):
+    df = spark.createDataFrame([("abc",), (None,)], ["s"])
+    rows = df.select(keccak256_udf("s").alias("h")).collect()
+    assert rows[0]["h"] == "0x4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45"
+    assert rows[1]["h"] is None
+
+
+def test_hex_to_long(spark):
+    df = spark.createDataFrame(
+        [("0x10",), ("0x0",), ("0x",), (None,), ("0xde0b6b3a7640000",)], ["h"]
+    )
+    vals = [r[0] for r in df.select(hex_to_long(F.col("h"))).collect()]
+    assert vals == [16, 0, None, None, 10**18]
+
+
+def test_hex_to_dec38(spark):
+    big = hex(10**40)  # overflows Decimal(38,0) -> NULL
+    df = spark.createDataFrame([("0xde0b6b3a7640000",), (big,), (None,), ("junk",)], ["h"])
+    vals = [r[0] for r in df.select(hex_to_dec38(F.col("h"))).collect()]
+    assert vals == [Decimal(10**18), None, None, None]
+
+
+def test_split_to_words_and_address(spark):
+    w1 = "0" * 24 + "a" * 40
+    w2 = "0" * 63 + "5"
+    df = spark.createDataFrame([("0x" + w1 + w2,), ("0x",)], ["data"])
+    out = df.select(split_to_words(F.col("data")).alias("w")).collect()
+    assert out[0]["w"] == [w1, w2]
+    assert out[1]["w"] == []
+    addr = df.select(word_to_address(F.lit(w1.upper())).alias("a")).first()["a"]
+    assert addr == "0x" + "a" * 40
+
+
+def test_normalize_and_ids(spark):
+    df = spark.createDataFrame([(1609459200, "0xAB", 3)], ["ts", "h", "i"])
+    row = df.select(
+        to_normalized_address(F.col("h")).alias("a"),
+        item_id("log", "h", "i").alias("iid"),
+        item_timestamp(F.col("ts")).alias("its"),
+    ).first()
+    assert row["a"] == "0xab"
+    assert row["iid"] == "log_0xAB_3"
+    assert row["its"] == "2021-01-01T00:00:00Z"
