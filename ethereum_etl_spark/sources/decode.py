@@ -1,0 +1,76 @@
+"""Change-event payload decode: JSON envelope → typed entity DataFrames.
+
+The mapper layer of the reference (/root/reference/ethereumetl/mappers/
+block_mapper.py:38-78, transaction_mapper.py:32-56, receipt_log_mapper.py)
+re-expressed as one vectorized ``from_json`` + column casts: camelCase→
+snake_case is already normalized in the WAL payloads; hex→numeric runs
+JVM-side (``conv``) for <2^63 fields and through the Arrow uint256 UDF for
+Decimal(38,0) fields. No per-row Python anywhere on this path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType, StringType, StructField, StructType
+
+from ethereum_etl_spark.functions.hex import hex_to_dec38, to_normalized_address
+from ethereum_etl_spark.schemas import ENTITY_SCHEMAS
+
+_ADDRESS_COLS = {
+    "miner",
+    "from_address",
+    "to_address",
+    "address",
+    "contract_address",
+    "token_address",
+    "holder_address",
+    "operator_address",
+}
+
+
+def raw_json_schema(entity_type: str) -> StructType:
+    """Entity schema with uint256 columns widened to string (hex-in-flight)."""
+    fields = []
+    for f in ENTITY_SCHEMAS[entity_type].fields:
+        if isinstance(f.dataType, DecimalType):
+            fields.append(StructField(f.name, StringType(), True))
+        else:
+            fields.append(StructField(f.name, f.dataType, True))
+    return StructType(fields)
+
+
+def decode_entity(
+    wal_batch: DataFrame,
+    entity_type: str,
+    ops=("upsert",),
+    include_seq: bool = True,
+) -> DataFrame:
+    """Filter one entity stream out of a WAL batch and decode its payload.
+
+    Returns rows typed per ENTITY_SCHEMAS[entity_type]; addresses lowercased
+    (utils.py:84-87 parity); hex uint256 → Decimal(38,0) w/ overflow→NULL.
+    ``include_seq`` carries the WAL position through as ``_ingest_seq`` (the
+    Iceberg _sequence_number analog) so MERGE can order same-key rows that
+    arrive in one batch — e.g. an upsert and its reorg replacement.
+    """
+    schema = ENTITY_SCHEMAS[entity_type]
+    raw = raw_json_schema(entity_type)
+    sel = [F.from_json("payload", raw).alias("r")]
+    if include_seq and "seq" in wal_batch.columns:
+        sel.append(F.col("seq").alias("_ingest_seq"))
+    df = wal_batch.filter(
+        (F.col("entity_type") == entity_type) & F.col("op").isin(*ops)
+    ).select(*sel)
+    df = df.select("r.*", *(["_ingest_seq"] if len(sel) > 1 else []))
+    cols = []
+    for f in schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, DecimalType):
+            c = hex_to_dec38(c)
+        elif f.name in _ADDRESS_COLS:
+            c = to_normalized_address(c)
+        cols.append(c.cast(f.dataType).alias(f.name))
+    if "_ingest_seq" in df.columns:
+        cols.append(F.col("_ingest_seq"))
+    return df.select(*cols)

@@ -1,0 +1,295 @@
+"""Change-event WAL: deterministic distributed generator + range tailer.
+
+The engine's only streaming input is an ordered table of change events
+(FIXTURES.md §0): ``(seq, block_number, block_hash, entity_type, op,
+payload-json)``. This mirrors the reference's treatment of the chain head as
+a WAL polled in block ranges (/root/reference/blockchainetl/streaming/
+streamer.py:90-157); ``seq`` is the WAL position (monotone), ``block_number``
+the entity's chain position (reorg rows re-emit an old block_number at a
+later seq).
+
+Generation is FULLY DISTRIBUTED (spark.range → columnar expressions →
+to_json), no driver-side loops — at 10^10 events the generator itself must
+scale like the engine. Determinism: every field is a pure column function of
+(block_number, index, seed); hashes are sha2 of seeded strings.
+
+Skew realism: a configurable fraction of logs hit one hot token contract
+(the high-volume DEX pair of the north_star) to exercise salted/AQE skew
+handling downstream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TRANSFER_TOPIC = "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+HOT_TOKEN = "0x" + "beef" * 10
+
+
+def _h(prefix, *cols) -> F.Column:
+    """Deterministic 0x-hex id: sha256 of seeded string parts."""
+    return F.concat(
+        F.lit("0x"), F.sha2(F.concat_ws(":", F.lit(prefix), *cols), 256)
+    )
+
+
+def _addr(prefix, salt) -> F.Column:
+    """Deterministic address (0x + 40 hex)."""
+    return F.concat(
+        F.lit("0x"),
+        F.substring(F.sha2(F.concat_ws(":", F.lit(prefix), salt.cast("string")), 256), 1, 40),
+    )
+
+
+def _word_from(col) -> F.Column:
+    """64-hex-char ABI word encoding of a long column."""
+    return F.lpad(F.lower(F.hex(col.cast("long"))), 64, "0")
+
+
+def _addr_word(addr_col) -> F.Column:
+    return F.lpad(F.substring(addr_col, 3, 40), 64, "0")
+
+
+@dataclass
+class ChainWalSpec:
+    start_block: int = 0
+    end_block: int = 99  # inclusive
+    txs_per_block: int = 4
+    logs_per_tx: int = 2
+    seed: str = "42"
+    hot_fraction_pct: int = 60  # % of transfer logs on HOT_TOKEN
+    reorg_blocks: tuple[int, ...] = ()  # blocks re-emitted with fork hashes
+    fork_tag: str = "fork1"
+
+
+def _blocks_df(spark: SparkSession, spec: ChainWalSpec, fork_of: DataFrame | None = None):
+    """Raw block rows as columns (not yet enveloped)."""
+    if fork_of is None:
+        r = spark.range(spec.start_block, spec.end_block + 1).withColumnRenamed("id", "number")
+        tag = F.lit(spec.seed)
+    else:
+        r = fork_of
+        tag = F.concat(F.lit(spec.seed), F.lit(":"), F.lit(spec.fork_tag))
+    n = F.col("number")
+    return r.select(
+        n.alias("number"),
+        _h("blk", tag, n).alias("hash"),
+        _h("blk", tag, n - 1).alias("parent_hash"),
+        F.lower(F.hex(n * 7 + 1)).alias("nonce"),
+        _addr("miner", n % 50).alias("miner"),
+        (F.lit(2) * n + 100).cast("string").alias("difficulty"),
+        (n * n + 1000).cast("string").alias("total_difficulty"),
+        (F.lit(500) + n % 100).alias("size"),
+        F.lit("0x").alias("extra_data"),
+        F.lit(30_000_000).alias("gas_limit"),
+        (F.lit(21000) * spec.txs_per_block).alias("gas_used"),
+        (F.lit(1_600_000_000) + n * 12).alias("timestamp"),
+        F.lit(spec.txs_per_block).cast("long").alias("transaction_count"),
+        (F.lit(7) + n % 13).alias("base_fee_per_gas"),
+    )
+
+
+def _tx_df(spark: SparkSession, spec: ChainWalSpec, blocks: DataFrame):
+    b = blocks.select("number", "hash", "timestamp")
+    return (
+        b.withColumn("transaction_index", F.explode(F.sequence(F.lit(0), F.lit(spec.txs_per_block - 1))))
+        .select(
+            _h("tx", F.col("hash"), F.col("transaction_index")).alias("hash"),
+            (F.col("number") * spec.txs_per_block + F.col("transaction_index")).alias("nonce"),
+            F.col("hash").alias("block_hash"),
+            F.col("number").alias("block_number"),
+            F.col("transaction_index").cast("int").alias("transaction_index"),
+            _addr("from", (F.col("number") * 13 + F.col("transaction_index")) % 1000).alias("from_address"),
+            F.when(
+                (F.col("number") + F.col("transaction_index")) % 17 == 0, F.lit(None)
+            ).otherwise(_addr("to", (F.col("number") * 7 + F.col("transaction_index")) % 500)).alias("to_address"),
+            F.concat(F.lit("0x"), F.lower(F.hex((F.col("number") % 100 + 1) * 1_000_000_000))).alias("value"),
+            F.lit(90000).alias("gas"),
+            F.concat(F.lit("0x"), F.lower(F.hex(F.lit(20_000_000_000) + F.col("number") % 5))).alias("gas_price"),
+            F.lit("0x").alias("input"),
+            F.col("timestamp").alias("block_timestamp"),
+            (F.lit(30) + F.col("number") % 3).alias("max_fee_per_gas"),
+            F.lit(2).alias("max_priority_fee_per_gas"),
+            (F.col("transaction_index") % 3).cast("int").alias("transaction_type"),
+        )
+    )
+
+
+def _receipt_df(spec: ChainWalSpec, txs: DataFrame):
+    t = txs
+    return t.select(
+        F.col("hash").alias("transaction_hash"),
+        F.col("transaction_index"),
+        F.col("block_hash"),
+        F.col("block_number"),
+        ((F.col("transaction_index") + 1) * 21000).alias("cumulative_gas_used"),
+        F.lit(21000).alias("gas_used"),
+        F.when(
+            (F.col("block_number") * spec.txs_per_block + F.col("transaction_index")) % 29 == 0,
+            _addr("contract", F.col("block_number") * 100 + F.col("transaction_index")),
+        ).alias("contract_address"),
+        F.lit(None).cast("string").alias("root"),
+        F.when((F.col("block_number") + F.col("transaction_index")) % 23 == 0, 0)
+        .otherwise(1)
+        .cast("int")
+        .alias("status"),
+        F.concat(F.lit("0x"), F.lower(F.hex(F.lit(19_000_000_000)))).alias("effective_gas_price"),
+        F.lit(spec.logs_per_tx).cast("int").alias("logs_count"),
+    )
+
+
+def _log_df(spec: ChainWalSpec, txs: DataFrame):
+    """ERC-20 Transfer logs; hot-key skew on token address."""
+    t = txs.withColumn(
+        "li", F.explode(F.sequence(F.lit(0), F.lit(spec.logs_per_tx - 1)))
+    )
+    seqno = F.col("block_number") * 1000 + F.col("transaction_index") * 10 + F.col("li")
+    token = F.when(seqno % 100 < spec.hot_fraction_pct, F.lit(HOT_TOKEN)).otherwise(
+        _addr("token", seqno % 37)
+    )
+    from_a = _addr("holder", seqno % 211)
+    to_a = _addr("holder", (seqno + 1) % 211)
+    value_word = _word_from((seqno % 1000 + 1) * F.lit(1_000_000))
+    return t.select(
+        (F.col("transaction_index") * spec.logs_per_tx + F.col("li")).cast("int").alias("log_index"),
+        F.col("hash").alias("transaction_hash"),
+        F.col("transaction_index"),
+        F.col("block_hash"),
+        F.col("block_number"),
+        token.alias("address"),
+        F.concat(F.lit("0x"), value_word).alias("data"),
+        F.array(
+            F.lit(TRANSFER_TOPIC),
+            F.concat(F.lit("0x"), _addr_word(from_a)),
+            F.concat(F.lit("0x"), _addr_word(to_a)),
+        ).alias("topics"),
+    )
+
+
+def _envelope(df: DataFrame, entity_type: str, op: str, seq_shift: int) -> DataFrame:
+    """Wrap typed rows into the WAL envelope with a deterministic seq."""
+    bn = F.col("block_number") if "block_number" in df.columns else F.col("number")
+    bh = F.col("block_hash") if "block_hash" in df.columns else F.col("hash")
+    intra = {"block": 0, "transaction": 1, "receipt": 2, "log": 3}[entity_type]
+    return df.select(
+        (bn * 10 + intra + seq_shift).alias("seq"),
+        bn.alias("block_number"),
+        bh.alias("block_hash"),
+        F.lit(entity_type).alias("entity_type"),
+        F.lit(op).alias("op"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("payload"),
+    )
+
+
+def generate_chain_wal(spark: SparkSession, spec: ChainWalSpec) -> DataFrame:
+    """Distributed deterministic chain WAL: blocks, txs, receipts, logs
+    (+ optional reorg re-emissions with fork hashes at later seq)."""
+    blocks = _blocks_df(spark, spec)
+    txs = _tx_df(spark, spec, blocks)
+    receipts = _receipt_df(spec, txs)
+    logs = _log_df(spec, txs)
+    parts = [
+        _envelope(blocks, "block", "upsert", 0),
+        _envelope(txs, "transaction", "upsert", 0),
+        _envelope(receipts, "receipt", "upsert", 0),
+        _envelope(logs, "log", "upsert", 0),
+    ]
+    if spec.reorg_blocks:
+        rb = spark.createDataFrame([(b,) for b in spec.reorg_blocks], ["number"])
+        fork_blocks = _blocks_df(spark, spec, fork_of=rb)
+        fork_txs = _tx_df(spark, spec, fork_blocks)
+        fork_receipts = _receipt_df(spec, fork_txs)
+        fork_logs = _log_df(spec, fork_txs)
+        # reorg rows arrive after the whole original chain
+        shift = (spec.end_block + 10) * 10
+        parts += [
+            _envelope(fork_blocks, "block", "reorg", shift),
+            _envelope(fork_txs, "transaction", "reorg", shift),
+            _envelope(fork_receipts, "receipt", "reorg", shift),
+            _envelope(fork_logs, "log", "reorg", shift),
+        ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def generate_repo_wal(
+    spark: SparkSession,
+    n_commits: int = 100,
+    files_per_commit: int = 50,
+    n_repos: int = 20,
+    seed: str = "42",
+) -> DataFrame:
+    """north_rule input shape: WAL of source-code file change events
+    (repo, path, commit, lang, content) — BASELINE.json input_hint.
+    Deterministic, distributed; ``seq`` = commit index. ~20% of events
+    touch an existing path (updates), rest create new paths."""
+    langs = F.array(*[F.lit(x) for x in ["py", "go", "rs", "js", "java"]])
+    ev = (
+        spark.range(0, n_commits * files_per_commit)
+        .select(
+            (F.col("id") / files_per_commit).cast("long").alias("commit_idx"),
+            F.col("id").alias("event_idx"),
+        )
+    )
+    repo_id = F.col("event_idx") % n_repos
+    # 80% new path / 20% rewrite of an earlier path in the same repo
+    path_id = F.when(
+        F.col("event_idx") % 5 == 0, (F.col("event_idx") / 7).cast("long")
+    ).otherwise(F.col("event_idx"))
+    content = F.concat(
+        F.lit("// "), F.lit(seed), F.lit(" file "),
+        path_id.cast("string"), F.lit(" rev "), F.col("commit_idx").cast("string"),
+        F.lit("\n"),
+        F.repeat(F.concat(F.lit("line of code "), (F.col("event_idx") % 97).cast("string"), F.lit("\n")), 20),
+    )
+    return ev.select(
+        F.col("commit_idx").alias("seq"),
+        F.concat(F.lit("repo-"), repo_id.cast("string")).alias("repo"),
+        F.concat(
+            F.lit("src/"), ((path_id % 13)).cast("string"), F.lit("/f"),
+            path_id.cast("string"),
+            F.element_at(langs, (path_id % 5 + 1).cast("int")),
+        ).alias("path"),
+        F.substring(F.sha2(F.concat(F.lit(seed), F.col("commit_idx").cast("string")), 256), 1, 40).alias("commit"),
+        F.element_at(langs, (path_id % 5 + 1).cast("int")).alias("lang"),
+        content.alias("content"),
+    )
+
+
+class WalTailer:
+    """Range tailer over a (possibly growing) WAL parquet/lake table.
+
+    compute_target mirrors Streamer._calculate_target_block
+    (/root/reference/blockchainetl/streaming/streamer.py:136-157): target =
+    min(head - lag, watermark + batch); catch-up skip when behind by more
+    than 1.5x batch."""
+
+    def __init__(self, wal_df: DataFrame, batch_size: int = 10, lag: int = 0):
+        self.wal = wal_df
+        self.batch_size = batch_size
+        self.lag = lag
+        self._head = None
+
+    def head(self) -> int:
+        if self._head is None:
+            self._head = self.wal.agg(F.max("seq")).first()[0] or 0
+        return self._head
+
+    def compute_target(self, watermark: int, allow_skip: bool = False) -> int | None:
+        head = self.head() - self.lag
+        if head <= watermark:
+            return None
+        if allow_skip and head - watermark > 1.5 * self.batch_size:
+            return head  # catch-up: jump to head (streamer.py:136-149)
+        return min(head, watermark + self.batch_size)
+
+    def read_range(self, lo_exclusive: int, hi_inclusive: int) -> DataFrame:
+        # predicate pushes into the parquet scan (seq range → row-group skip)
+        return self.wal.filter(
+            (F.col("seq") > lo_exclusive) & (F.col("seq") <= hi_inclusive)
+        )
