@@ -1,0 +1,134 @@
+"""Benchmark: headline queries + CDC MERGE replay throughput.
+
+Runs on local[$SPARK_GRAFT_CPUS] against $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "merge_events_per_sec": ..., "cpus": ...}
+
+The CDC replay portion generates a deterministic chain WAL once per scale
+under /tmp and measures sustained decode→enrich→MERGE throughput (the
+BASELINE.json metric) excluding Spark startup and WAL generation.
+
+Scaling evidence (N vs 4N parallelism) is produced by scripts/bench_scaling.py,
+which runs THIS replay at two local[] levels in separate JVMs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_latest_event_per_key",
+    "q02_enrich_broadcast_join",
+    "q07_topk_revenue",
+    "q09_ohlcv_candles",
+    "q17_tpch_q1_pricing",
+    "q19_region_revenue",
+    "q23_erc20_decode_parity",
+    "q25_exact_dedup",
+    "q27_minhash_lsh_pairs",
+    "q28_embedding_topk",
+]
+
+BENCH_BLOCKS = int(os.environ.get("BENCH_BLOCKS", "4000"))
+BENCH_TXS = 4
+BENCH_LOGS = 2
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from ethereum_etl_spark.plans.harness_queries import QUERIES
+
+    times = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def ensure_wal(spark, path: str) -> int:
+    """Generate (once) and return event count."""
+    from pyspark.sql import functions as F
+
+    from ethereum_etl_spark.sources.wal import ChainWalSpec, generate_chain_wal
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        spec = ChainWalSpec(
+            start_block=0,
+            end_block=BENCH_BLOCKS - 1,
+            txs_per_block=BENCH_TXS,
+            logs_per_tx=BENCH_LOGS,
+            reorg_blocks=(BENCH_BLOCKS - 10, BENCH_BLOCKS - 9),
+        )
+        generate_chain_wal(spark, spec).repartition(32).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    return df.count()
+
+
+def run_replay(spark, wal_path: str, warehouse: str, batch_seq: int = 0) -> dict:
+    """Replay the WAL through the streamer; returns events/sec + timings."""
+    from ethereum_etl_spark.sources.wal import WalTailer
+    from ethereum_etl_spark.streaming import ChainStreamer, StreamerConfig
+
+    n_events = ensure_wal(spark, wal_path)
+    shutil.rmtree(warehouse, ignore_errors=True)
+    batch = batch_seq or (BENCH_BLOCKS * 10 // 4)  # ~4 micro-batches
+    cfg = StreamerConfig(
+        warehouse=warehouse,
+        batch_size=batch,
+        partition_size=max(BENCH_BLOCKS // 8, 1),
+    )
+    s = ChainStreamer(spark, cfg)
+    wal = spark.read.parquet(wal_path)
+    t0 = time.time()
+    s.run(WalTailer(wal, batch_size=batch))
+    elapsed = time.time() - t0
+    return {
+        "events": n_events,
+        "replay_sec": round(elapsed, 3),
+        "events_per_sec": round(n_events / elapsed, 1),
+        "final_rows": {k: t.row_count() for k, t in s.tables.items()},
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from ethereum_etl_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times = run_queries(spark, sf_dir)
+    replay = run_replay(
+        spark,
+        wal_path=f"/tmp/bench_wal_b{BENCH_BLOCKS}",
+        warehouse=f"/tmp/bench_wh_{cpus}",
+    )
+    times["cdc_merge_replay"] = replay["replay_sec"]
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "headline_queries_plus_cdc_merge_replay_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": cpus,
+        "merge_events": replay["events"],
+        "merge_events_per_sec": replay["events_per_sec"],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -307,6 +307,8 @@ class LakeTable:
         version_col: str | None = None,
         delete_keys: DataFrame | None = None,
         delete_key_cols: list[str] | None = None,
+        touched_range: tuple[int, int] | None = None,
+        extra_touched_values: list[int] | None = None,
     ) -> int:
         """MERGE INTO semantics, last-write-wins on the natural key.
 
@@ -317,6 +319,11 @@ class LakeTable:
           (clickhouse_eth_streamer_adapter.py:839-890).
         - Only partitions overlapping the batch/delete keys are rewritten.
         - Idempotent per ``batch_id``: replay of a committed batch is a no-op.
+        - ``touched_range=(lo, hi)`` (inclusive, in prune-column units) and
+          ``extra_touched_values`` let the caller declare the key span of the
+          batch up front, skipping the distinct-scan job the table would
+          otherwise need to discover which partitions to rewrite — the
+          streamer knows its block range for free from the WAL envelope.
         """
         m = self.manifest()
         if batch_id is not None and batch_id in m.batch_ids:
@@ -329,17 +336,26 @@ class LakeTable:
         pt_expr = F.floor(
             F.col(m.prune_col).cast("double") / m.partition_size
         ).cast("long")
-        touched = {
-            r[0]
-            for r in aligned.select(F.coalesce(pt_expr, F.lit(-1))).distinct().collect()
-        }
-        if delete_keys is not None and m.prune_col in delete_keys.columns:
-            touched |= {
+        if touched_range is not None:
+            lo_pt = touched_range[0] // m.partition_size
+            hi_pt = touched_range[1] // m.partition_size
+            touched = set(range(lo_pt, hi_pt + 1))
+            for v in extra_touched_values or []:
+                touched.add(v // m.partition_size)
+        else:
+            touched = {
                 r[0]
-                for r in delete_keys.select(F.coalesce(pt_expr, F.lit(-1)))
+                for r in aligned.select(F.coalesce(pt_expr, F.lit(-1)))
                 .distinct()
                 .collect()
             }
+            if delete_keys is not None and m.prune_col in delete_keys.columns:
+                touched |= {
+                    r[0]
+                    for r in delete_keys.select(F.coalesce(pt_expr, F.lit(-1)))
+                    .distinct()
+                    .collect()
+                }
 
         affected = [f for f in m.files if f.pt in touched]
         kept = [f for f in m.files if f.pt not in touched]

@@ -1,0 +1,230 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Training-data-pipeline dedup at 100 TB scale:
+
+- exact_dedup: hash-groupBy on a normalization fingerprint — one shuffle,
+  map-side partial agg. The canonical first pass.
+- ngram_jaccard_pairs: word-shingle sets → explode → self-join on shared
+  shingle → per-pair intersection counts → Jaccard. Exact but quadratic in
+  the worst case — only viable after LSH candidate pruning at scale; exposed
+  directly for small/verification runs (and as the oracle-checkable op).
+- minhash_lsh_pairs: MinHash signatures (k independent hash slots via
+  md5(slot:shingle) — md5 so the DuckDB oracle computes bit-identical
+  signatures) banded into b bands; candidate pairs = same (band, band-hash)
+  bucket. The scale path: shuffle is keyed by band bucket, hot buckets are
+  bounded by the band width, estimated Jaccard = matching slots / k.
+- simhash64: 64-bit SimHash from token md5 bits (weighted bit-majority);
+  near-dups = signatures within small Hamming distance.
+
+All shingling/hashing is columnar (split/transform/md5); no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lowercased text."""
+    w = F.split(F.trim(F.lower(text)), "\\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(n)]),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (post-normalization) docs: fingerprint →
+    (count, canonical id). Map-side combine; one shuffle on the hash."""
+    from ethereum_etl_spark.operators.text import fingerprint
+
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def _shingle_table(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    ).select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise Jaccard over word n-gram shingle sets, pairs (a<b)
+    with similarity ≥ threshold. Self-join keyed on shingle: only docs
+    sharing ≥1 shingle ever meet — sparse, not a cross join."""
+    s = _shingle_table(docs, text_col, id_col, n)
+    a = s.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+    b = s.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
+    pairs = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, n: int = 3) -> Column:
+    """MinHash signature: slot j = min(md5('<j>:'||shingle)). md5 keeps the
+    DuckDB oracle bit-identical; at pure-Spark scale swap for xxhash64."""
+    sh = word_shingles(text, n)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+            )
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: signatures split into ``bands`` bands of
+    num_hashes/bands rows; docs colliding on any full band become candidates;
+    output estimated Jaccard = matching slots / num_hashes.
+
+    Scale shape: the only shuffle is groupBy(band_id, band_key); band keys
+    distribute hot docs across ``bands`` buckets."""
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, n).alias("sig"),
+    ).cache()
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.get("sig", bi * rows_per_band + r)
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band_id", "b.band_key")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band_id", "band_key"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda p, q: p == q),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(float(num_hashes)),
+                4,
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash of word tokens: for each of 64 bit positions, sum
+    +1/-1 over tokens' md5-derived bits; bit = 1 when the sum > 0.
+    Columnar: per-token 64-bit value from the first 16 md5 hex chars."""
+    w = F.array_distinct(F.split(F.trim(F.lower(text)), "\\s+"))
+    tok_bits = F.transform(w, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+    # for bit k: count tokens with bit set; bit of result = (2*cnt > n_tokens).
+    # Static Python loop (shift amounts must be literals); 60-term expression
+    # tree — fine for codegen, one pass over the token array per bit.
+    n = F.size(w)
+
+    def bit_set(k: int):
+        # single-arg lambda (a 2nd default arg would make pyspark pass the
+        # element index as the 2nd param)
+        return lambda v: F.shiftright(v, k).bitwiseAND(F.lit(1)) == 1
+
+    acc = F.lit(0).cast("long")
+    for k in range(60):
+        cnt = F.size(F.filter(tok_bits, bit_set(k)))
+        acc = acc + F.when(cnt * 2 > n, F.lit(1 << k).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return acc
+
+
+def simhash_near_dups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. Candidate generation by
+    16-bit chunk equality (pigeonhole: ≤3 differing bits → ≥1 of 4 chunks
+    equal), so the join is keyed, never a cross join."""
+    sigs = docs.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    chunks = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright("sig", c * 15).bitwiseAND(F.lit(0x7FFF)).alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sig", "c.chunk_id", "c.chunk")
+    x, y = chunks.alias("x"), chunks.alias("y")
+    return (
+        x.join(y, on=["chunk_id", "chunk"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

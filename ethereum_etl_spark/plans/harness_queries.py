@@ -1,0 +1,844 @@
+"""Driver-harness query registry: Spark queries + DuckDB oracle SQL pairs.
+
+Each entry demonstrates one operator family from SURVEY.md §2 (or a
+training-data-pipeline op from the brief) over the driver's TPC-H-ish
+testdata. Naming contract: every computed column is aliased identically in
+the Spark plan and the oracle SQL (the driver hash-compares columns by
+sorted name). Determinism contract: all float aggregation goes through
+DECIMAL casts (exact, order-independent) with a final double round; all
+argmin/argmax carry a unique tiebreak; all top-k orderings are total.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ethereum_etl_spark.operators.candles import ohlcv, salted_sum
+from ethereum_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from ethereum_etl_spark.operators.enrich import missing_keys_anti_join
+from ethereum_etl_spark.operators.multimodal import extract_media_features, synthesize_media
+from ethereum_etl_spark.operators.similarity import brute_force_topk, nearest_centroid, srp_lsh_buckets
+from ethereum_etl_spark.operators.text import analyze_documents
+from ethereum_etl_spark.operators.transfers import TRANSFER_EVENT_TOPIC, extract_token_transfers
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def ld(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _dec(c, p=18, s=4):
+    return F.col(c).cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------------------
+# CDC / warehouse core (SURVEY §2.4-2.8)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q01_latest_event_per_key",
+    """
+    SELECT user_id, event_type, event_id AS last_event_id,
+           value AS last_value, epoch_us(ts) AS last_ts_us
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id, event_type
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
+    """,
+)
+def q01(spark, sf):
+    """W4: ReplacingMergeTree FINAL read — the canonical CDC dedup
+    (clickhouse_eth_streamer_adapter.py:81-86)."""
+    e = ld(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("last_ts_us"),
+        )
+    )
+
+
+@_q(
+    "q02_enrich_broadcast_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q02(spark, sf):
+    """J3: child × parent broadcast enrich (enrich.py:120-407)."""
+    li = ld(spark, sf, "lineitem")
+    o = ld(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "o_orderpriority",
+    )
+    return li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_custkey", "order_date", "o_orderpriority"
+    )
+
+
+@_q(
+    "q03_dedup_one_to_one_join",
+    """
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment
+    FROM (SELECT DISTINCT o_orderkey, o_custkey FROM orders) o
+    JOIN (SELECT DISTINCT c_custkey, c_name, c_mktsegment FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def q03(spark, sf):
+    """J2: dedup-then-join 1:1 (enrich_transactions, enrich.py:71-117)."""
+    o = ld(spark, sf, "orders").select("o_orderkey", "o_custkey").dropDuplicates(["o_orderkey"])
+    c = (
+        ld(spark, sf, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .dropDuplicates(["c_custkey"])
+    )
+    return o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_name", "c_mktsegment")
+
+
+@_q(
+    "q04_consistency_check",
+    """
+    SELECT l_orderkey, count(*) AS n_lines, max(l_linenumber) AS max_line,
+           (count(*) <> max(l_linenumber)) AS mismatch
+    FROM lineitem GROUP BY l_orderkey
+    HAVING count(*) <> max(l_linenumber) OR count(*) > 5
+    """,
+)
+def q04(spark, sf):
+    """J8: count-consistency check (scripts/check_data_consistency.py:32-104)."""
+    li = ld(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.max("l_linenumber").alias("max_line"))
+        .filter((F.col("n_lines") != F.col("max_line")) | (F.col("n_lines") > 5))
+        .withColumn("mismatch", F.col("n_lines") != F.col("max_line"))
+    )
+
+
+@_q(
+    "q05_missing_keys_anti_join",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q05(spark, sf):
+    """U2/J9: left_anti missing-dimension keys
+    (clickhouse_eth_streamer_adapter.py:372-392)."""
+    return missing_keys_anti_join(
+        ld(spark, sf, "customer").withColumnRenamed("c_custkey", "k"),
+        ld(spark, sf, "orders").withColumnRenamed("o_custkey", "k"),
+        "k",
+    ).select(F.col("k").alias("c_custkey"))
+
+
+@_q(
+    "q06_distinct_pairs",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def q06(spark, sf):
+    """U3/A6: exact-row distinct (utils.py:165-173)."""
+    return ld(spark, sf, "events").select("user_id", "event_type").distinct()
+
+
+@_q(
+    "q07_topk_revenue",
+    """
+    SELECT o_custkey,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+    FROM orders GROUP BY o_custkey
+    ORDER BY revenue DESC, o_custkey LIMIT 10
+    """,
+)
+def q07(spark, sf):
+    """O: top-k with total ordering (per-partition top-k + merge)."""
+    return (
+        ld(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(_dec("o_totalprice", 18, 2)).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_custkey")
+        .limit(10)
+    )
+
+
+@_q(
+    "q08_window_enumerate",
+    """
+    SELECT l_orderkey, l_linenumber,
+           row_number() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_linenumber) AS line_seq
+    FROM lineitem WHERE l_orderkey <= 512
+    """,
+)
+def q08(spark, sf):
+    """W1/P12: within-group enumeration (export_traces_job.py:110-113)."""
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (
+        ld(spark, sf, "lineitem")
+        .filter("l_orderkey <= 512")
+        .select("l_orderkey", "l_linenumber", F.row_number().over(w).alias("line_seq"))
+    )
+
+
+@_q(
+    "q09_ohlcv_candles",
+    """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bs, ts, event_id,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+    ),
+    o AS (SELECT event_type, bs, v,
+                 row_number() OVER (PARTITION BY event_type, bs ORDER BY ts, event_id) rn
+          FROM b),
+    c AS (SELECT event_type, bs, v,
+                 row_number() OVER (PARTITION BY event_type, bs ORDER BY ts DESC, event_id DESC) rn
+          FROM b),
+    a AS (SELECT event_type, bs,
+                 CAST(max(v) AS DOUBLE) AS high, CAST(min(v) AS DOUBLE) AS low,
+                 round(CAST(sum(abs(v)) AS DOUBLE), 4) AS volume,
+                 count(*) AS trades
+          FROM b GROUP BY event_type, bs)
+    SELECT a.event_type, strftime(a.bs, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           CAST(o.v AS DOUBLE) AS open, a.high, a.low, CAST(c.v AS DOUBLE) AS close,
+           a.volume, a.trades
+    FROM a
+    JOIN o ON o.event_type = a.event_type AND o.bs = a.bs AND o.rn = 1
+    JOIN c ON c.event_type = a.event_type AND c.bs = a.bs AND c.rn = 1
+    """,
+)
+def q09(spark, sf):
+    """A1: OHLCV candles (schema.sql:92-146) via the candles operator."""
+    e = ld(spark, sf, "events").withColumn("v", _dec("value", 18, 6))
+    out = ohlcv(e, key_col="event_type", ts_col="ts", value_col="v", tiebreak_col="event_id")
+    return out.select(
+        "event_type",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        F.col("open").cast("double").alias("open"),
+        F.col("high").cast("double").alias("high"),
+        F.col("low").cast("double").alias("low"),
+        F.col("close").cast("double").alias("close"),
+        F.round(F.col("volume").cast("double"), 4).alias("volume"),
+        "trades",
+    )
+
+
+@_q(
+    "q10_hourly_activity",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type, count(*) AS n, count(DISTINCT user_id) AS uniq_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q10(spark, sf):
+    """A4+A2(exact): time-bucketed counts + distinct users."""
+    return (
+        ld(spark, sf, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("uniq_users"))
+    )
+
+
+@_q(
+    "q11_latest_value_per_type",
+    """
+    SELECT event_type, value AS last_value, event_id AS last_event_id
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY ts DESC, event_id DESC) rn
+          FROM events) WHERE rn = 1
+    """,
+)
+def q11(spark, sf):
+    """A10: argmax — latest value per series (ch_adapter:572-593) via max_by."""
+    e = ld(spark, sf, "events")
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return e.groupBy("event_type").agg(
+        F.max_by("value", order).alias("last_value"),
+        F.max_by("event_id", order).alias("last_event_id"),
+    )
+
+
+@_q(
+    "q12_range_for_window",
+    """
+    SELECT min(event_id) AS min_id, max(event_id) AS max_id, count(*) AS n
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def q12(spark, sf):
+    """S13: timestamp range → id range (eth_service.py:41-74 made trivial)."""
+    e = ld(spark, sf, "events")
+    return e.filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+    ).agg(
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_q(
+    "q13_item_id_stamp",
+    """
+    SELECT 'order_' || o_orderkey AS item_id,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS item_timestamp,
+           o_orderkey
+    FROM orders WHERE o_orderkey <= 2048
+    """,
+)
+def q13(spark, sf):
+    """P13: item_id + RFC3339 stamping (eth_item_id_calculator.py:54-73)."""
+    return (
+        ld(spark, sf, "orders")
+        .filter("o_orderkey <= 2048")
+        .select(
+            F.concat_ws("_", F.lit("order"), F.col("o_orderkey")).alias("item_id"),
+            F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("item_timestamp"),
+            "o_orderkey",
+        )
+    )
+
+
+@_q(
+    "q14_membership_classify",
+    """
+    SELECT CASE WHEN event_type IN ('click', 'purchase') THEN 'engaged'
+                ELSE 'passive' END AS cls,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q14(spark, sf):
+    """S7/P18: set-membership filter/classify (isin broadcast literal)."""
+    return (
+        ld(spark, sf, "events")
+        .withColumn(
+            "cls",
+            F.when(F.col("event_type").isin("click", "purchase"), "engaged").otherwise("passive"),
+        )
+        .groupBy("cls")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "q15_union_dedup",
+    """
+    SELECT DISTINCT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL SELECT s_nationkey FROM supplier)
+    """,
+)
+def q15(spark, sf):
+    """U1: union of sources + dedup (eth_streamer_adapter.py:201-210)."""
+    c = ld(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = ld(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@_q(
+    "q16_hex_encode",
+    """
+    SELECT o_orderkey, lower(to_hex(o_orderkey)) AS hex_key,
+           '0x' || lpad(lower(to_hex(o_orderkey)), 16, '0') AS padded_word
+    FROM orders WHERE o_orderkey <= 1024
+    """,
+)
+def q16(spark, sf):
+    """P1/P17: hex encode + ABI-style zero-padding (json_rpc_requests.py:80-122)."""
+    return (
+        ld(spark, sf, "orders")
+        .filter("o_orderkey <= 1024")
+        .select(
+            "o_orderkey",
+            F.lower(F.hex("o_orderkey")).alias("hex_key"),
+            F.concat(F.lit("0x"), F.lpad(F.lower(F.hex("o_orderkey")), 16, "0")).alias("padded_word"),
+        )
+    )
+
+
+@_q(
+    "q17_tpch_q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          CAST(1 - l_discount AS DECIMAL(18,2)) *
+                          CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q17(spark, sf):
+    """TPC-H Q1 pricing summary: partial-agg heavy groupBy (A-family)."""
+    li = ld(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    ep = _dec("l_extendedprice", 18, 2)
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    tax = (F.lit(1) + F.col("l_tax")).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity", 18, 2)).cast("double").alias("sum_qty"),
+        F.sum(ep).cast("double").alias("sum_base_price"),
+        F.round(F.sum(ep * disc).cast("double"), 2).alias("sum_disc_price"),
+        F.round(F.sum(ep * disc * tax).cast("double"), 2).alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@_q(
+    "q18_tpch_q3_shipping",
+    """
+    SELECT l.l_orderkey,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                          CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+    """,
+)
+def q18(spark, sf):
+    """TPC-H Q3 variant: 3-way join + agg + total-ordered top-k."""
+    c = ld(spark, sf, "customer").filter("c_mktsegment = 'BUILDING'")
+    o = ld(spark, sf, "orders")
+    li = ld(spark, sf, "lineitem")
+    rev = _dec("l_extendedprice", 18, 2) * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_q(
+    "q19_region_revenue",
+    """
+    SELECT r.r_name,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                          CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+           count(*) AS n_lines
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name
+    """,
+)
+def q19(spark, sf):
+    """TPC-H Q5 flavor: star join through 2 broadcast dims + 2 fact joins."""
+    r = ld(spark, sf, "region")
+    n = ld(spark, sf, "nation")
+    c = ld(spark, sf, "customer")
+    o = ld(spark, sf, "orders")
+    li = ld(spark, sf, "lineitem")
+    rev = _dec("l_extendedprice", 18, 2) * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return (
+        F.broadcast(r)
+        .join(F.broadcast(n), n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "q20_rollup_counts",
+    """
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+           count(*) AS n
+    FROM events GROUP BY ROLLUP(event_type, d)
+    """,
+)
+def q20(spark, sf):
+    """Multi-resolution rollup — the GROUPING SETS rendering of the 4
+    parallel candle-granularity MVs (SURVEY §2.5)."""
+    return (
+        ld(spark, sf, "events")
+        .withColumn("d", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+        .rollup("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "q21_salted_skew_agg",
+    """
+    SELECT event_type,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v
+    FROM events GROUP BY event_type
+    """,
+)
+def q21(spark, sf):
+    """Skew mitigation: salted two-stage agg ≡ plain groupBy (SURVEY §4)."""
+    e = ld(spark, sf, "events").withColumn("v", _dec("value", 18, 6))
+    out = salted_sum(e, "event_type", "v", salt_buckets=16)
+    return out.select("event_type", F.round(F.col("sum_v").cast("double"), 4).alias("sum_v"))
+
+
+@_q(
+    "q22_json_props_extract",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q22(spark, sf):
+    """Map/JSON surface (SURVEY §2.9): parse the props JSON column."""
+    return (
+        ld(spark, sf, "events")
+        .select(F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship decode parity (P3) — synthetic logs derived from lineitem in SQL
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q23_erc20_decode_parity",
+    f"""
+    SELECT '0x' || lpad(lower(to_hex(l_partkey)), 40, '0') AS token_address,
+           'ERC20' AS token_standard,
+           '0x' || lpad(lower(to_hex(l_suppkey)), 40, '0') AS from_address,
+           '0x' || lpad(lower(to_hex(l_orderkey)), 40, '0') AS to_address,
+           CAST(l_quantity AS BIGINT) AS value,
+           md5(l_orderkey || ':' || l_linenumber) AS transaction_hash,
+           l_linenumber AS log_index,
+           l_orderkey AS block_number
+    FROM lineitem
+    """,
+)
+def q23(spark, sf):
+    """P3 flagship: ERC-20 log decode. Logs are fabricated columnar from
+    lineitem (so the oracle can rebuild them in SQL), then run through the
+    REAL extract_token_transfers operator."""
+    li = ld(spark, sf, "lineitem")
+    logs = li.select(
+        F.col("l_linenumber").cast("int").alias("log_index"),
+        F.md5(F.concat_ws(":", "l_orderkey", "l_linenumber")).alias("transaction_hash"),
+        F.col("l_orderkey").alias("block_number"),
+        F.concat(F.lit("0x"), F.lpad(F.lower(F.hex("l_partkey")), 40, "0")).alias("address"),
+        F.concat(
+            F.lit("0x"), F.lpad(F.lower(F.hex(F.col("l_quantity").cast("long"))), 64, "0")
+        ).alias("data"),
+        F.array(
+            F.lit(TRANSFER_EVENT_TOPIC),
+            F.concat(F.lit("0x"), F.lpad(F.lower(F.hex("l_suppkey")), 64, "0")),
+            F.concat(F.lit("0x"), F.lpad(F.lower(F.hex("l_orderkey")), 64, "0")),
+        ).alias("topics"),
+    )
+    return extract_token_transfers(logs).select(
+        "token_address",
+        "token_standard",
+        "from_address",
+        "to_address",
+        F.col("value").cast("long").alias("value"),
+        "transaction_hash",
+        "log_index",
+        "block_number",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops: text, dedup, similarity
+# ---------------------------------------------------------------------------
+
+_SW = "('the','a','an','and','or','of','to','in','is','it')"
+_TOKENS_SQL = "list_filter(string_split_regex(trim({c}), '\\s+'), x -> x != '')"
+
+
+@_q(
+    "q24_doc_stats",
+    f"""
+    WITH t AS (
+      SELECT *,
+             len({_TOKENS_SQL.format(c='text')}) AS n_tokens,
+             len(list_filter({_TOKENS_SQL.format(c='lower(text)')},
+                             x -> x IN {_SW})) AS n_sw,
+             len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           round(0.4 * least(length(text) / 500.0, 1.0)
+               + 0.4 * least(n_sw / greatest(n_tokens, 1) * 5, 1.0)
+               + 0.2 * (1 - least(n_punct / greatest(length(text), 1) * 10, 1.0)), 4)
+             AS quality,
+           CASE WHEN n_sw / greatest(n_tokens, 1) >= 0.12 THEN 'en'
+                ELSE 'other' END AS lang_pred,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+                                   '\\s+', ' ', 'g'))) AS fp
+    FROM t
+    """,
+)
+def q24(spark, sf):
+    """Text analysis: token count, quality score, lang-ID, fingerprint."""
+    return analyze_documents(ld(spark, sf, "documents")).select(
+        "doc_id", "lang", "n_tokens", "quality", "lang_pred", "fp"
+    )
+
+
+@_q(
+    "q25_exact_dedup",
+    """
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+                                   '\\s+', ' ', 'g'))) AS fp,
+           count(*) AS n_docs, min(doc_id) AS canonical_id
+    FROM documents GROUP BY 1
+    """,
+)
+def q25(spark, sf):
+    """Exact dedup: fingerprint groupBy (the hash-groupBy first pass)."""
+    return exact_dedup(ld(spark, sf, "documents"))
+
+
+_SHINGLES_SQL = """
+    w AS (SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> x != '') AS wl
+          FROM documents),
+    dsh AS (SELECT DISTINCT doc_id, s FROM (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(wl) - 2),
+                            i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])) AS s
+              FROM w))
+"""
+
+
+@_q(
+    "q26_ngram_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES_SQL},
+    cnt AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b,
+           round(p.common / (ca.n_sh + cb.n_sh - p.common), 4) AS jaccard
+    FROM p JOIN cnt ca ON ca.doc_id = p.id_a JOIN cnt cb ON cb.doc_id = p.id_b
+    WHERE round(p.common / (ca.n_sh + cb.n_sh - p.common), 4) >= 0.03
+    """,
+)
+def q26(spark, sf):
+    """n-gram Jaccard near-dup pairs (shingle-keyed self-join, no cross
+    join)."""
+    return ngram_jaccard_pairs(ld(spark, sf, "documents"), threshold=0.03)
+
+
+@_q(
+    "q27_minhash_lsh_pairs",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sigs AS (SELECT doc_id, seed, min(md5(seed || ':' || s)) AS mh
+             FROM dsh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed)
+             GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 2 AS band_id,
+                     string_agg(mh, '|' ORDER BY seed) AS band_key
+              FROM sigs GROUP BY doc_id, seed // 2),
+    cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             FROM bands x JOIN bands y
+               ON x.band_id = y.band_id AND x.band_key = y.band_key
+              AND x.doc_id < y.doc_id),
+    m AS (SELECT c.id_a, c.id_b,
+                 sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS eq
+          FROM cand c
+          JOIN sigs sa ON sa.doc_id = c.id_a
+          JOIN sigs sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+          GROUP BY 1, 2)
+    SELECT id_a, id_b, round(eq / 16.0, 4) AS est_jaccard FROM m
+    """,
+)
+def q27(spark, sf):
+    """MinHash+LSH near-dup candidates: shingle→minhash→band→bucket-join."""
+    return minhash_lsh_pairs(
+        ld(spark, sf, "documents"), num_hashes=16, bands=8
+    )
+
+
+@_q(
+    "q28_embedding_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT vec_id,
+                 round(list_dot_product(embedding::DOUBLE[], qv) /
+                       (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+          FROM embeddings, q)
+    SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def q28(spark, sf):
+    """ANN baseline: brute-force cosine top-k vs the vec_id=0 query vector."""
+    emb = ld(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return brute_force_topk(emb, qv, k=10)
+
+
+@_q("q29_nearest_centroid", None)  # oracle attached below (needs centroids)
+def q29(spark, sf):
+    """IVF build step: nearest-centroid assignment counts (centroids =
+    embeddings of vec_id 0,1,2)."""
+    emb = ld(spark, sf, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter("vec_id IN (0,1,2)").orderBy("vec_id").collect()
+    ]
+    asg = nearest_centroid(emb, cents)
+    return asg.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+ORACLES["q29_nearest_centroid"] = """
+    WITH c AS (
+      SELECT (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0) AS c0,
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 1) AS c1,
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 2) AS c2
+    ),
+    s AS (SELECT vec_id,
+            round(list_dot_product(embedding::DOUBLE[], c0) /
+                  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                   sqrt(list_dot_product(c0, c0))), 6) AS s0,
+            round(list_dot_product(embedding::DOUBLE[], c1) /
+                  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                   sqrt(list_dot_product(c1, c1))), 6) AS s1,
+            round(list_dot_product(embedding::DOUBLE[], c2) /
+                  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                   sqrt(list_dot_product(c2, c2))), 6) AS s2
+          FROM embeddings, c)
+    SELECT CASE WHEN s2 >= s1 AND s2 >= s0 THEN 2
+                WHEN s1 >= s0 THEN 1 ELSE 0 END AS centroid_id,
+           count(*) AS n_vectors
+    FROM s GROUP BY 1
+"""
+
+
+def _srp_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    out = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[:2], 16) % 2 == 0 else -1.0)
+        out.append(row)
+    return out
+
+
+def _srp_oracle() -> str:
+    planes = _srp_planes()
+    bits = []
+    for p in planes:
+        lit = "[" + ",".join(str(int(x)) for x in p) + "]::DOUBLE[]"
+        bits.append(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) >= 0 THEN '1' ELSE '0' END"
+        )
+    return f"SELECT vec_id, {' || '.join(bits)} AS bucket FROM embeddings"
+
+
+@_q("q30_srp_lsh_buckets", _srp_oracle())
+def q30(spark, sf):
+    """Similarity LSH: signed-random-projection buckets (deterministic
+    md5-seeded hyperplanes, shared verbatim with the oracle)."""
+    return srp_lsh_buckets(ld(spark, sf, "embeddings"))
+
+
+# --- rows-only checks (non-SQL-expressible or stubbed surface) -------------
+
+@_q("q31_simhash_near_dups", None)
+def q31(spark, sf):
+    """SimHash near-dup pairs (bit-level Hamming; rows-only check — 64-bit
+    hex→int and bit_count aren't portable to the oracle)."""
+    return simhash_near_dups(ld(spark, sf, "documents"), max_hamming=8)
+
+
+@_q("q32_media_features", None)
+def q32(spark, sf):
+    """Multimodal plumbing: binary payload → mapInPandas feature extraction
+    (decode stubbed; Spark-side schema/batching real). Rows-only check."""
+    media = synthesize_media(spark, n=200)
+    return (
+        extract_media_features(media)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.count("decoded_width").alias("n_decoded"),
+        )
+    )
+
+
+@_q("q33_repo_file_latest", None)
+def q33(spark, sf):
+    """north_rule CDC query: latest file content per (repo, path) from the
+    deterministic repo-file WAL, with per-row sha256 (the content-equality
+    invariant). Rows-only (input is generated, not a registered view)."""
+    from ethereum_etl_spark.sources.wal import generate_repo_wal
+
+    wal = generate_repo_wal(spark, n_commits=20, files_per_commit=50, n_repos=10)
+    w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc(), F.col("commit").desc())
+    return (
+        wal.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("repo", "path", "commit", "lang", F.sha2("content", 256).alias("content_sha"))
+    )

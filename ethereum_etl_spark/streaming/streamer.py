@@ -51,6 +51,7 @@ class StreamerConfig:
     entity_types: tuple[str, ...] = ("block", "transaction", "receipt", "log", "token_transfer")
     partition_size: int = 100_000  # block numbers per lake partition
     strict_counts: bool = False
+    parallel_merges: bool = True
     extra_merge_opts: dict = field(default_factory=dict)
 
 
@@ -164,22 +165,42 @@ class ChainStreamer:
         if target is None:
             return None
         t0 = time.time()
-        batch = tailer.read_range(watermark, target)
+        batch = tailer.read_range(watermark, target).cache()
         batch_id = f"{watermark}-{target}"
 
-        # reorged blocks in this batch → winning (latest-seq) hash per block
-        # (clickhouse_eth_streamer_adapter.py:815-890: detect, mark, re-export)
-        reorg_keys = (
-            batch.filter(F.col("op") == "reorg")
-            .groupBy("block_number")
-            .agg(F.max_by("block_hash", "seq").alias("__winning_hash"))
-            .cache()
-        )
-        has_reorg = reorg_keys.limit(1).count() > 0
+        # ONE stats pass over the batch: block span + reorg presence. The
+        # span becomes the touched-partition hint for every table MERGE —
+        # no per-table discovery scans.
+        stats = batch.agg(
+            F.min("block_number").alias("lo"),
+            F.max("block_number").alias("hi"),
+            F.sum(F.when(F.col("op") == "reorg", 1).otherwise(0)).alias("n_reorg"),
+        ).first()
+        if stats["lo"] is None:  # empty range
+            self.watermarks.set(target)
+            batch.unpersist()
+            return target
+        lo_bn, hi_bn = int(stats["lo"]), int(stats["hi"])
+        has_reorg = (stats["n_reorg"] or 0) > 0
+
+        reorg_blocks: list[int] = []
         if has_reorg:
+            # winning (latest-seq) hash per reorged block
+            # (clickhouse_eth_streamer_adapter.py:815-890)
+            winners = (
+                batch.filter(F.col("op") == "reorg")
+                .groupBy("block_number")
+                .agg(F.max_by("block_hash", "seq").alias("__winning_hash"))
+                .collect()
+            )
+            reorg_blocks = [int(r["block_number"]) for r in winners]
+            wdf = self.spark.createDataFrame(
+                [(r["block_number"], r["__winning_hash"]) for r in winners],
+                "block_number long, __winning_hash string",
+            )
             # drop in-batch rows superseded by a same-batch reorg
             batch = (
-                batch.join(F.broadcast(reorg_keys), on="block_number", how="left")
+                batch.join(F.broadcast(wdf), on="block_number", how="left")
                 .filter(
                     F.col("__winning_hash").isNull()
                     | (F.col("block_hash") == F.col("__winning_hash"))
@@ -190,28 +211,44 @@ class ChainStreamer:
         get, cache = self._decode_batch(batch)
         derived = self._derive(get)
 
-        n_rows = 0
-        for name, df in derived.items():
+        def _merge_one(name: str, df: DataFrame) -> None:
             t = self.tables[name]
             dk = None
             dkc = None
             if has_reorg:
-                dk = reorg_keys.select(
-                    F.col("block_number").alias(t.manifest().prune_col)
+                prune = t.manifest().prune_col
+                dk = self.spark.createDataFrame(
+                    [(b,) for b in reorg_blocks], f"{prune} long"
                 )
-                dkc = [t.manifest().prune_col]
+                dkc = [prune]
             t.merge_upsert(
                 df,
                 batch_id=batch_id,
                 version_col="_ingest_seq" if "_ingest_seq" in df.columns else None,
                 delete_keys=dk,
                 delete_key_cols=dkc,
+                touched_range=(lo_bn, hi_bn),
+                extra_touched_values=reorg_blocks,
             )
-            n_rows += t.row_count()
 
-        for df in cache.values():
-            df.unpersist()
-        reorg_keys.unpersist()
+        # per-entity MERGEs are independent (separate tables) → submit
+        # concurrently; the Spark scheduler interleaves their stages (the
+        # reference's thread-pool job parallelism, batch_work_executor.py,
+        # done the Spark way).
+        if self.cfg.parallel_merges and len(derived) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(derived)) as ex:
+                futures = {ex.submit(_merge_one, n, d): n for n, d in derived.items()}
+                for f in futures:
+                    f.result()  # propagate failures
+        else:
+            for name, df in derived.items():
+                _merge_one(name, df)
+
+        for cdf in cache.values():
+            cdf.unpersist()
+        batch.unpersist()
 
         # watermark AFTER sink commit (streamer.py:128-132)
         self.watermarks.set(target)
