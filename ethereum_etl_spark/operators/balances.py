@@ -1,0 +1,173 @@
+"""Balance derivation: token balances from transfer deltas, native balances
+from value flows (S8/S10 re-thought for an engine with no RPC).
+
+The reference point-reads balanceOf/eth_getBalance per touched (token,
+holder, block) (/root/reference/ethereumetl/jobs/export_token_balances_job.py:52-96,
+export_native_balances_job.py:53-79). A lake engine derives the same table
+incrementally: each transfer contributes −value to the sender and +value to
+the receiver (mint/burn legs on the NULL-address set are skipped, the P18
+classification of misc/info.py:5-31), a per-key running sum over block order
+gives the balance at every touched block, and a carry-in from the previous
+micro-batch's latest-balance table makes it exact across batches.
+
+Scale shape: one groupBy (token, holder, token_id, block) with map-side
+partial agg, one window cumsum partitioned by the same holder key (hot
+tokens are fine — the window key includes holder, so a hot token fans out
+across holders), one broadcast-ish join against the latest-balance carry-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# canonical burn/mint sink addresses (misc/info.py NULL set, abbreviated to
+# the universally-used members; membership test is a broadcast literal)
+NULL_ADDRESSES = [
+    "0x0000000000000000000000000000000000000000",
+    "0x000000000000000000000000000000000000dead",
+    "0xdead000000000000000000000000000000000000",
+    "0xffffffffffffffffffffffffffffffffffffffff",
+]
+
+def _TID():
+    return F.coalesce(F.col("token_id"), F.lit(-1).cast("decimal(38,0)"))
+
+
+def token_balance_deltas(transfers: DataFrame) -> DataFrame:
+    """Per-transfer ±value legs, mint/burn (NULL-address) legs dropped."""
+    base = transfers.select(
+        "token_address", "token_standard", "from_address", "to_address",
+        "value", "block_number", "token_id",
+    )
+    legs = base.select(
+        "token_address",
+        "token_standard",
+        "block_number",
+        "token_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("from_address").alias("holder_address"),
+                    (-F.col("value")).alias("delta"),
+                ),
+                F.struct(
+                    F.col("to_address").alias("holder_address"),
+                    F.col("value").alias("delta"),
+                ),
+            )
+        ).alias("leg"),
+    ).select(
+        "token_address", "token_standard", "block_number", "token_id",
+        F.col("leg.holder_address").alias("holder_address"),
+        F.col("leg.delta").alias("delta"),
+    )
+    return legs.filter(
+        F.col("holder_address").isNotNull()
+        & ~F.col("holder_address").isin(NULL_ADDRESSES)
+    )
+
+
+def token_balances_from_transfers(
+    transfers: DataFrame, carry_in: DataFrame | None = None
+) -> DataFrame:
+    """(token, holder, token_id, block) → running balance.
+
+    ``carry_in``: latest balances from prior batches with columns
+    (token_address, holder_address, token_id, value)."""
+    d = token_balance_deltas(transfers)
+    per_block = d.groupBy(
+        "token_address", "holder_address", "token_id", "block_number"
+    ).agg(
+        F.sum("delta").alias("block_delta"),
+        F.max("token_standard").alias("token_standard"),
+    )
+    w = (
+        Window.partitionBy("token_address", "holder_address", _TID())
+        .orderBy("block_number")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_block.withColumn("value", F.sum("block_delta").over(w))
+    if carry_in is not None:
+        c = carry_in.select(
+            "token_address",
+            "holder_address",
+            _TID().alias("__tid"),
+            F.col("value").alias("__base"),
+        )
+        cum = (
+            cum.withColumn("__tid", _TID())
+            .join(c, on=["token_address", "holder_address", "__tid"], how="left")
+            .withColumn(
+                "value", F.col("value") + F.coalesce(F.col("__base"), F.lit(0))
+            )
+            .drop("__tid", "__base")
+        )
+    return cum.select(
+        "token_address", "holder_address", "block_number", "token_id",
+        F.col("value").cast("decimal(38,0)").alias("value"),
+        "token_standard",
+    )
+
+
+def latest_token_balances(balances: DataFrame) -> DataFrame:
+    """Latest balance per (token, holder, token_id) — max_by block."""
+    order = F.col("block_number")
+    return balances.groupBy("token_address", "holder_address", _TID().alias("__tid")).agg(
+        F.max_by("value", order).alias("value"),
+        F.max("block_number").alias("block_number"),
+        F.max_by("token_id", order).alias("token_id"),
+        F.max_by("token_standard", order).alias("token_standard"),
+    ).drop("__tid")
+
+
+def native_balances_from_transactions(
+    transactions: DataFrame,
+    internal_transfers: DataFrame | None = None,
+    carry_in: DataFrame | None = None,
+) -> DataFrame:
+    """(address, block) → running native balance from tx value flows (+
+    internal transfers when available). Gas accounting intentionally
+    excluded (documented divergence from eth_getBalance absolute reads)."""
+    flows = transactions.select(
+        "block_number",
+        F.col("from_address").alias("from_a"),
+        F.col("to_address").alias("to_a"),
+        F.col("value"),
+    )
+    if internal_transfers is not None:
+        flows = flows.unionByName(
+            internal_transfers.select(
+                "block_number",
+                F.col("from_address").alias("from_a"),
+                F.col("to_address").alias("to_a"),
+                F.col("value"),
+            )
+        )
+    legs = flows.select(
+        "block_number",
+        F.explode(
+            F.array(
+                F.struct(F.col("from_a").alias("address"), (-F.col("value")).alias("delta")),
+                F.struct(F.col("to_a").alias("address"), F.col("value").alias("delta")),
+            )
+        ).alias("leg"),
+    ).select("block_number", F.col("leg.address").alias("address"), F.col("leg.delta").alias("delta"))
+    legs = legs.filter(
+        F.col("address").isNotNull() & ~F.col("address").isin(NULL_ADDRESSES)
+    )
+    per_block = legs.groupBy("address", "block_number").agg(F.sum("delta").alias("block_delta"))
+    w = (
+        Window.partitionBy("address")
+        .orderBy("block_number")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_block.withColumn("value", F.sum("block_delta").over(w))
+    if carry_in is not None:
+        c = carry_in.select("address", F.col("value").alias("__base"))
+        cum = cum.join(c, on="address", how="left").withColumn(
+            "value", F.col("value") + F.coalesce("__base", F.lit(0))
+        ).drop("__base")
+    return cum.select(
+        "block_number", "address", F.col("value").cast("decimal(38,0)").alias("value")
+    )

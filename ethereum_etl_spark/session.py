@@ -53,4 +53,39 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship ethereum_etl_spark to executor Python workers (the local-mode
+    equivalent of `spark-submit --py-files pkg.zip`, BASELINE.md launch
+    mode). Without this, mapInPandas/pandas_udf closures that reference
+    module-level helpers fail on workers whose cwd isn't the repo root."""
+    import zipfile
+
+    import ethereum_etl_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    zip_path = os.path.join(
+        "/tmp", f"ethereum_etl_spark_{abs(hash(pkg_dir)) % 10**8}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(
+                            "ethereum_etl_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:  # noqa: BLE001 — already added in this context
+        pass

@@ -169,11 +169,74 @@ def _log_df(spec: ChainWalSpec, txs: DataFrame):
     )
 
 
+_ERC20_PROLOGUE = "6080604052"
+# dispatcher-style runtime bytecode with the six EIP-20 selectors PUSH4'd in
+# basic block 0 (see operators/contracts.py); deterministic literal
+ERC20_BYTECODE = (
+    "0x" + _ERC20_PROLOGUE
+    + "6318160ddd"  # totalSupply()
+    + "6370a08231"  # balanceOf(address)
+    + "63a9059cbb"  # transfer(address,uint256)
+    + "6323b872dd"  # transferFrom(address,address,uint256)
+    + "63095ea7b3"  # approve(address,uint256)
+    + "63dd62ed3e"  # allowance(address,address)
+    + "00"
+)
+PLAIN_BYTECODE = "0x" + _ERC20_PROLOGUE + "63deadbeef" + "00"
+
+
+def _geth_trace_df(spec: "ChainWalSpec", txs: DataFrame):
+    """Per-tx geth call tree JSON. Most txs: root CALL with one child
+    STATICCALL (child errors every 13th tx — exercises status inheritance);
+    every 29th tx: root CREATE with ERC-20-ish or plain output bytecode."""
+    t = txs
+    gtx = F.col("block_number") * spec.txs_per_block + F.col("transaction_index")
+    hx = lambda c: F.concat(F.lit("0x"), F.lower(F.hex(c)))  # noqa: E731
+    child = F.struct(
+        F.lit("STATICCALL").alias("type"),
+        F.col("to_address").alias("from"),
+        _addr("inner", gtx % 77).alias("to"),
+        hx(gtx % 3 + 1).alias("value"),
+        F.lit("0x100").alias("gas"),
+        F.lit("0xff").alias("gasUsed"),
+        F.when(gtx % 13 == 0, F.lit("out of gas")).alias("error"),
+    )
+    tree_call = F.to_json(
+        F.struct(
+            F.lit("CALL").alias("type"),
+            F.col("from_address").alias("from"),
+            F.coalesce(F.col("to_address"), _addr("fallback", gtx % 5)).alias("to"),
+            F.col("value").alias("value"),
+            hx(F.lit(90000)).alias("gas"),
+            hx(F.lit(21000)).alias("gasUsed"),
+            F.lit("0x").alias("input"),
+            F.lit("0x").alias("output"),
+            F.array(child).alias("calls"),
+        )
+    )
+    tree_create = F.to_json(
+        F.struct(
+            F.lit("CREATE").alias("type"),
+            F.col("from_address").alias("from"),
+            _addr("contract", F.col("block_number") * 100 + F.col("transaction_index")).alias("to"),
+            hx(F.lit(500000)).alias("gas"),
+            hx(F.lit(350000)).alias("gasUsed"),
+            F.when(gtx % 58 == 0, F.lit(ERC20_BYTECODE)).otherwise(F.lit(PLAIN_BYTECODE)).alias("output"),
+        )
+    )
+    return t.select(
+        F.col("hash").alias("transaction_hash"),
+        F.col("block_number"),
+        F.col("block_hash"),
+        F.when(gtx % 29 == 0, tree_create).otherwise(tree_call).alias("transaction_traces"),
+    )
+
+
 def _envelope(df: DataFrame, entity_type: str, op: str, seq_shift: int) -> DataFrame:
     """Wrap typed rows into the WAL envelope with a deterministic seq."""
     bn = F.col("block_number") if "block_number" in df.columns else F.col("number")
     bh = F.col("block_hash") if "block_hash" in df.columns else F.col("hash")
-    intra = {"block": 0, "transaction": 1, "receipt": 2, "log": 3}[entity_type]
+    intra = {"block": 0, "transaction": 1, "receipt": 2, "log": 3, "geth_trace": 4}[entity_type]
     return df.select(
         (bn * 10 + intra + seq_shift).alias("seq"),
         bn.alias("block_number"),
@@ -191,11 +254,13 @@ def generate_chain_wal(spark: SparkSession, spec: ChainWalSpec) -> DataFrame:
     txs = _tx_df(spark, spec, blocks)
     receipts = _receipt_df(spec, txs)
     logs = _log_df(spec, txs)
+    geth = _geth_trace_df(spec, txs)
     parts = [
         _envelope(blocks, "block", "upsert", 0),
         _envelope(txs, "transaction", "upsert", 0),
         _envelope(receipts, "receipt", "upsert", 0),
         _envelope(logs, "log", "upsert", 0),
+        _envelope(geth, "geth_trace", "upsert", 0),
     ]
     if spec.reorg_blocks:
         rb = spark.createDataFrame([(b,) for b in spec.reorg_blocks], ["number"])
@@ -203,6 +268,7 @@ def generate_chain_wal(spark: SparkSession, spec: ChainWalSpec) -> DataFrame:
         fork_txs = _tx_df(spark, spec, fork_blocks)
         fork_receipts = _receipt_df(spec, fork_txs)
         fork_logs = _log_df(spec, fork_txs)
+        fork_geth = _geth_trace_df(spec, fork_txs)
         # reorg rows arrive after the whole original chain
         shift = (spec.end_block + 10) * 10
         parts += [
@@ -210,6 +276,7 @@ def generate_chain_wal(spark: SparkSession, spec: ChainWalSpec) -> DataFrame:
             _envelope(fork_txs, "transaction", "reorg", shift),
             _envelope(fork_receipts, "receipt", "reorg", shift),
             _envelope(fork_logs, "log", "reorg", shift),
+            _envelope(fork_geth, "geth_trace", "reorg", shift),
         ]
     out = parts[0]
     for p in parts[1:]:

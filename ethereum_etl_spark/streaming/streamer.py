@@ -43,12 +43,19 @@ from ethereum_etl_spark.sources.decode import decode_entity
 from ethereum_etl_spark.sources.wal import WalTailer
 
 
+DEFAULT_ENTITIES = (
+    "block", "transaction", "receipt", "log", "token_transfer",
+    "geth_trace", "trace", "internal_transfer", "contract",
+    "token_balance", "native_balance",
+)
+
+
 @dataclass
 class StreamerConfig:
     warehouse: str
     batch_size: int = 100  # WAL seq units per cycle
     lag: int = 0
-    entity_types: tuple[str, ...] = ("block", "transaction", "receipt", "log", "token_transfer")
+    entity_types: tuple[str, ...] = DEFAULT_ENTITIES
     partition_size: int = 100_000  # block numbers per lake partition
     strict_counts: bool = False
     parallel_merges: bool = True
@@ -98,19 +105,24 @@ class ChainStreamer:
     def _init_tables(self):
         from pyspark.sql.types import StringType, StructField, StructType
 
-        def tbl(name, schema, key, prune="block_number"):
+        def tbl(name, schema, key, prune="block_number", psize=None, stamped=True):
             root = f"{self.cfg.warehouse}/{name}"
-            extra = [
-                StructField("item_id", StringType(), True),
-                StructField("item_timestamp", StringType(), True),
-            ]
+            extra = (
+                [
+                    StructField("item_id", StringType(), True),
+                    StructField("item_timestamp", StringType(), True),
+                ]
+                if stamped
+                else []
+            )
             full = StructType(list(schema.fields) + extra)
             t = (
                 LakeTable(self.spark, root)
                 if LakeTable.exists(root)
                 else LakeTable.create(
                     self.spark, root, full, key=key,
-                    prune_col=prune, partition_size=self.cfg.partition_size,
+                    prune_col=prune,
+                    partition_size=psize or self.cfg.partition_size,
                 )
             )
             self.tables[name] = t
@@ -126,6 +138,25 @@ class ChainStreamer:
             tbl("logs", ENTITY_SCHEMAS["log"], ENTITY_KEYS["log"])
         if "token_transfer" in want:
             tbl("token_transfers", TOKEN_TRANSFER_SCHEMA, ENTITY_KEYS["token_transfer"])
+        if "geth_trace" in want:
+            tbl("geth_traces", ENTITY_SCHEMAS["geth_trace"], ENTITY_KEYS["geth_trace"])
+        if "trace" in want:
+            tbl("traces", ENTITY_SCHEMAS["trace"], ENTITY_KEYS["trace"])
+        if "internal_transfer" in want:
+            tbl("internal_transfers", ENTITY_SCHEMAS["internal_transfer"],
+                ENTITY_KEYS["internal_transfer"])
+        if "contract" in want:
+            tbl("contracts", ENTITY_SCHEMAS["contract"], ENTITY_KEYS["contract"])
+        if "token_balance" in want:
+            tbl("token_balances", ENTITY_SCHEMAS["token_balance"], ENTITY_KEYS["token_balance"])
+            # compact latest-state projection: single partition, LWW by block
+            tbl("token_balances_latest", ENTITY_SCHEMAS["token_balance"],
+                ["token_address", "holder_address", "token_id"],
+                psize=10**15, stamped=False)
+        if "native_balance" in want:
+            tbl("native_balances", ENTITY_SCHEMAS["native_balance"], ENTITY_KEYS["native_balance"])
+            tbl("native_balances_latest", ENTITY_SCHEMAS["native_balance"], ["address"],
+                psize=10**15, stamped=False)
 
     # ---------- one sync cycle ----------
 
@@ -140,24 +171,85 @@ class ChainStreamer:
 
         return get, cache
 
-    def _derive(self, get) -> dict[str, DataFrame]:
-        """Entity name → final DataFrame to MERGE (decode + enrich + stamp)."""
-        out: dict[str, DataFrame] = {}
+    def _derive(self, get) -> dict[str, dict]:
+        """Entity name → {df, merge opts} (decode + enrich + stamp).
+
+        The demand-driven DAG of eth_streamer_adapter.py:184-260: parents
+        are computed once (cached), children reuse them.
+        """
+        from ethereum_etl_spark.operators.balances import (
+            native_balances_from_transactions,
+            token_balances_from_transfers,
+        )
+        from ethereum_etl_spark.operators.contracts import extract_contracts
+        from ethereum_etl_spark.operators.traces import (
+            assign_trace_index,
+            extract_internal_transfers,
+            flatten_geth_traces,
+        )
+
+        out: dict[str, dict] = {}
+
+        def add(name, df, **opts):
+            out[name] = {"df": df, **opts}
+
         want = set(self.cfg.entity_types)
+        token_transfers = None
         if "block" in want:
-            out["blocks"] = stamp(get("block"), "block", ts_col="timestamp")
+            add("blocks", stamp(get("block"), "block", ts_col="timestamp"))
         if "transaction" in want:
             tx = enrich_transactions(get("transaction"), get("receipt"), self.cfg.strict_counts)
-            out["transactions"] = stamp(tx, "transaction", ts_col="block_timestamp")
+            add("transactions", stamp(tx, "transaction", ts_col="block_timestamp"))
         if "receipt" in want:
-            out["receipts"] = stamp(get("receipt"), "receipt")
+            add("receipts", stamp(get("receipt"), "receipt"))
         if "log" in want:
             logs = enrich_with_blocks(get("log"), get("block"), self.cfg.strict_counts)
-            out["logs"] = stamp(logs, "log", ts_col="block_timestamp")
+            add("logs", stamp(logs, "log", ts_col="block_timestamp"))
         if "token_transfer" in want:
             tt = extract_token_transfers(get("log"))
+            token_transfers = tt
             tt = enrich_with_blocks(tt, get("block"))
-            out["token_transfers"] = stamp(tt, "token_transfer", ts_col="block_timestamp")
+            add("token_transfers", stamp(tt, "token_transfer", ts_col="block_timestamp"))
+        if "geth_trace" in want:
+            add("geth_traces", stamp(get("geth_trace"), "geth_trace"))
+        if "trace" in want:
+            traces = assign_trace_index(flatten_geth_traces(get("geth_trace")))
+            add("traces", stamp(traces, "trace"))
+        if "internal_transfer" in want:
+            itr = extract_internal_transfers(get("geth_trace"))
+            add("internal_transfers", stamp(itr, "internal_transfer"))
+        if "contract" in want:
+            add("contracts", stamp(extract_contracts(get("geth_trace")), "contract"))
+        if "token_balance" in want and token_transfers is not None:
+            carry = self.tables["token_balances_latest"].read()
+            tb = token_balances_from_transfers(token_transfers, carry_in=carry)
+            add("token_balances", stamp(tb, "token_balance"))
+            from ethereum_etl_spark.operators.balances import latest_token_balances
+
+            add(
+                "token_balances_latest",
+                latest_token_balances(tb),
+                version_col="block_number",
+                full_touch=True,
+                stamped=False,
+            )
+        if "native_balance" in want:
+            carry = self.tables["native_balances_latest"].read()
+            nb = native_balances_from_transactions(get("transaction"), carry_in=carry)
+            add("native_balances", stamp(nb, "native_balance"))
+            from pyspark.sql import functions as SF
+
+            latest_nb = nb.groupBy("address").agg(
+                SF.max_by("value", SF.col("block_number")).alias("value"),
+                SF.max("block_number").alias("block_number"),
+            ).select("block_number", "address", "value")
+            add(
+                "native_balances_latest",
+                latest_nb,
+                version_col="block_number",
+                full_touch=True,
+                stamped=False,
+            )
         return out
 
     def sync_cycle(self, tailer: WalTailer, watermark: int) -> int | None:
@@ -211,40 +303,54 @@ class ChainStreamer:
         get, cache = self._decode_batch(batch)
         derived = self._derive(get)
 
-        def _merge_one(name: str, df: DataFrame) -> None:
+        def _merge_one(name: str, spec: dict) -> None:
             t = self.tables[name]
+            df = spec["df"]
+            full_touch = spec.get("full_touch", False)
             dk = None
             dkc = None
-            if has_reorg:
+            if has_reorg and not full_touch:
                 prune = t.manifest().prune_col
                 dk = self.spark.createDataFrame(
                     [(b,) for b in reorg_blocks], f"{prune} long"
                 )
                 dkc = [prune]
+            version_col = spec.get(
+                "version_col",
+                "_ingest_seq" if "_ingest_seq" in df.columns else None,
+            )
             t.merge_upsert(
                 df,
                 batch_id=batch_id,
-                version_col="_ingest_seq" if "_ingest_seq" in df.columns else None,
+                version_col=version_col,
                 delete_keys=dk,
                 delete_key_cols=dkc,
-                touched_range=(lo_bn, hi_bn),
-                extra_touched_values=reorg_blocks,
+                # full_touch tables (latest-state projections) always rewrite
+                # their single partition
+                touched_range=(0, 0) if full_touch else (lo_bn, hi_bn),
+                extra_touched_values=None if full_touch else reorg_blocks,
             )
 
         # per-entity MERGEs are independent (separate tables) → submit
         # concurrently; the Spark scheduler interleaves their stages (the
         # reference's thread-pool job parallelism, batch_work_executor.py,
-        # done the Spark way).
-        if self.cfg.parallel_merges and len(derived) > 1:
-            from concurrent.futures import ThreadPoolExecutor
+        # done the Spark way). full_touch (latest-state) tables run in a
+        # SECOND phase: they are read as carry-in by phase-1 plans, and their
+        # rewrite garbage-collects the very files those plans scan.
+        def _run(group: dict) -> None:
+            if self.cfg.parallel_merges and len(group) > 1:
+                from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=len(derived)) as ex:
-                futures = {ex.submit(_merge_one, n, d): n for n, d in derived.items()}
-                for f in futures:
-                    f.result()  # propagate failures
-        else:
-            for name, df in derived.items():
-                _merge_one(name, df)
+                with ThreadPoolExecutor(max_workers=len(group)) as ex:
+                    futures = {ex.submit(_merge_one, n, d): n for n, d in group.items()}
+                    for f in futures:
+                        f.result()  # propagate failures
+            else:
+                for name, spec in group.items():
+                    _merge_one(name, spec)
+
+        _run({n: s for n, s in derived.items() if not s.get("full_touch")})
+        _run({n: s for n, s in derived.items() if s.get("full_touch")})
 
         for cdf in cache.values():
             cdf.unpersist()
