@@ -828,6 +828,117 @@ def q32(spark, sf):
     )
 
 
+@_q(
+    "q34_trace_flatten_parity",
+    """
+    WITH base AS (
+      SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS tx,
+             (o_orderkey % 13 = 0) AS child_fails
+      FROM orders WHERE o_orderkey <= 4096
+    )
+    SELECT o_orderkey AS block_number, tx AS transaction_hash,
+           'call' AS trace_type, 'call' AS call_type, 1 AS status,
+           1 AS subtraces, '' AS trace_path,
+           'call_' || tx || '_' AS trace_id,
+           CAST(o_custkey AS BIGINT) AS value
+    FROM base JOIN orders USING (o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, tx, 'call', 'staticcall',
+           CASE WHEN child_fails THEN 0 ELSE 1 END, 0, '0',
+           'call_' || tx || '_0', CAST(NULL AS BIGINT)
+    FROM base
+    """,
+)
+def q34(spark, sf):
+    """P5/P10/P11: geth call-tree flatten with status inheritance and
+    trace-id stamping, oracle-checked — trees fabricated from orders so the
+    oracle can enumerate the expected flat rows in pure SQL."""
+    from ethereum_etl_spark.operators.traces import flatten_geth_traces
+
+    o = ld(spark, sf, "orders").filter("o_orderkey <= 4096")
+    hx = F.concat(F.lit("0x"), F.lower(F.hex(F.col("o_custkey"))))
+    child = F.struct(
+        F.lit("STATICCALL").alias("type"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("boom")).alias("error"),
+    )
+    geth = o.select(
+        F.md5(F.col("o_orderkey").cast("string")).alias("transaction_hash"),
+        F.col("o_orderkey").alias("block_number"),
+        F.to_json(
+            F.struct(
+                F.lit("CALL").alias("type"),
+                hx.alias("value"),
+                F.array(child).alias("calls"),
+            )
+        ).alias("transaction_traces"),
+    )
+    flat = flatten_geth_traces(geth)
+    return flat.select(
+        "block_number",
+        "transaction_hash",
+        "trace_type",
+        "call_type",
+        "status",
+        "subtraces",
+        F.concat_ws(",", F.transform("trace_address", lambda x: x.cast("string"))).alias("trace_path"),
+        "trace_id",
+        F.col("value").cast("long").alias("value"),
+    )
+
+
+@_q(
+    "q35_token_balances_cumsum",
+    """
+    WITH legs AS (
+      SELECT '0x' || lpad(lower(to_hex(l_partkey)), 40, '0') AS token_address,
+             '0x' || lpad(lower(to_hex(l_suppkey)), 40, '0') AS holder_address,
+             l_orderkey AS block_number, -CAST(l_quantity AS BIGINT) AS delta
+      FROM lineitem
+      UNION ALL
+      SELECT '0x' || lpad(lower(to_hex(l_partkey)), 40, '0'),
+             '0x' || lpad(lower(to_hex(l_orderkey)), 40, '0'),
+             l_orderkey, CAST(l_quantity AS BIGINT)
+      FROM lineitem),
+    per_block AS (
+      SELECT token_address, holder_address, block_number, sum(delta) AS d
+      FROM legs
+      -- mint/burn legs on the NULL-address set are skipped (P18); orderkey
+      -- 57005 = 0xdead lands on the burn address, exercising the rule
+      WHERE holder_address NOT IN (
+        '0x0000000000000000000000000000000000000000',
+        '0x000000000000000000000000000000000000dead',
+        '0xdead000000000000000000000000000000000000',
+        '0xffffffffffffffffffffffffffffffffffffffff')
+      GROUP BY 1, 2, 3)
+    SELECT token_address, holder_address, block_number,
+           CAST(sum(d) OVER (PARTITION BY token_address, holder_address
+                             ORDER BY block_number) AS BIGINT) AS value
+    FROM per_block
+    """,
+)
+def q35(spark, sf):
+    """Balance derivation (S8 rethought): per-key cumulative sums over
+    transfer deltas — the token_balances operator against a SQL window
+    oracle. Transfers fabricated from lineitem."""
+    from ethereum_etl_spark.operators.balances import token_balances_from_transfers
+
+    li = ld(spark, sf, "lineitem")
+    tt = li.select(
+        F.concat(F.lit("0x"), F.lpad(F.lower(F.hex("l_partkey")), 40, "0")).alias("token_address"),
+        F.lit("ERC20").alias("token_standard"),
+        F.concat(F.lit("0x"), F.lpad(F.lower(F.hex("l_suppkey")), 40, "0")).alias("from_address"),
+        F.concat(F.lit("0x"), F.lpad(F.lower(F.hex("l_orderkey")), 40, "0")).alias("to_address"),
+        F.col("l_quantity").cast("decimal(38,0)").alias("value"),
+        F.col("l_orderkey").alias("block_number"),
+        F.lit(None).cast("decimal(38,0)").alias("token_id"),
+    )
+    out = token_balances_from_transfers(tt)
+    return out.select(
+        "token_address", "holder_address", "block_number",
+        F.col("value").cast("long").alias("value"),
+    )
+
+
 @_q("q33_repo_file_latest", None)
 def q33(spark, sf):
     """north_rule CDC query: latest file content per (repo, path) from the

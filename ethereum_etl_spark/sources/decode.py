@@ -29,10 +29,15 @@ _ADDRESS_COLS = {
 }
 
 
-def raw_json_schema(entity_type: str) -> StructType:
-    """Entity schema with uint256 columns widened to string (hex-in-flight)."""
+def raw_json_schema(entity_type: str, extra_fields=None) -> StructType:
+    """Entity schema with uint256 columns widened to string (hex-in-flight).
+
+    ``extra_fields``: additively-evolved columns (e.g. withdrawals/blob
+    fields appearing in late payloads, SURVEY §1.3) — appended so from_json
+    surfaces them; early payloads simply yield NULL.
+    """
     fields = []
-    for f in ENTITY_SCHEMAS[entity_type].fields:
+    for f in list(ENTITY_SCHEMAS[entity_type].fields) + list(extra_fields or []):
         if isinstance(f.dataType, DecimalType):
             fields.append(StructField(f.name, StringType(), True))
         else:
@@ -45,6 +50,7 @@ def decode_entity(
     entity_type: str,
     ops=("upsert",),
     include_seq: bool = True,
+    extra_fields=None,
 ) -> DataFrame:
     """Filter one entity stream out of a WAL batch and decode its payload.
 
@@ -54,15 +60,24 @@ def decode_entity(
     Iceberg _sequence_number analog) so MERGE can order same-key rows that
     arrive in one batch — e.g. an upsert and its reorg replacement.
     """
-    schema = ENTITY_SCHEMAS[entity_type]
-    raw = raw_json_schema(entity_type)
-    sel = [F.from_json("payload", raw).alias("r")]
+    schema = StructType(
+        list(ENTITY_SCHEMAS[entity_type].fields) + list(extra_fields or [])
+    )
+    raw = StructType(
+        list(raw_json_schema(entity_type, extra_fields).fields)
+        + [StructField("_corrupt", StringType(), True)]
+    )
+    sel = [
+        F.from_json("payload", raw, {"columnNameOfCorruptRecord": "_corrupt"}).alias("r")
+    ]
     if include_seq and "seq" in wal_batch.columns:
         sel.append(F.col("seq").alias("_ingest_seq"))
     df = wal_batch.filter(
         (F.col("entity_type") == entity_type) & F.col("op").isin(*ops)
     ).select(*sel)
-    df = df.select("r.*", *(["_ingest_seq"] if len(sel) > 1 else []))
+    # unparseable payloads go to the dead-letter channel, never into tables
+    df = df.filter(F.col("r._corrupt").isNull())
+    df = df.select("r.*", *(["_ingest_seq"] if len(sel) > 1 else [])).drop("_corrupt")
     cols = []
     for f in schema.fields:
         c = F.col(f.name)

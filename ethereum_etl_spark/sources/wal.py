@@ -63,6 +63,10 @@ class ChainWalSpec:
     hot_fraction_pct: int = 60  # % of transfer logs on HOT_TOKEN
     reorg_blocks: tuple[int, ...] = ()  # blocks re-emitted with fork hashes
     fork_tag: str = "fork1"
+    # additive schema evolution: blocks >= this number carry the late
+    # protocol fields (withdrawals_root, blob_gas_used); earlier payloads
+    # omit them entirely (to_json drops nulls) — SURVEY §1.3
+    evolve_at_block: int | None = None
 
 
 def _blocks_df(spark: SparkSession, spec: ChainWalSpec, fork_of: DataFrame | None = None):
@@ -89,6 +93,14 @@ def _blocks_df(spark: SparkSession, spec: ChainWalSpec, fork_of: DataFrame | Non
         (F.lit(1_600_000_000) + n * 12).alias("timestamp"),
         F.lit(spec.txs_per_block).cast("long").alias("transaction_count"),
         (F.lit(7) + n % 13).alias("base_fee_per_gas"),
+        *(
+            [
+                F.when(n >= spec.evolve_at_block, _h("wroot", tag, n)).alias("withdrawals_root"),
+                F.when(n >= spec.evolve_at_block, n % 6 * 131072).alias("blob_gas_used"),
+            ]
+            if spec.evolve_at_block is not None
+            else []
+        ),
     )
 
 
@@ -147,9 +159,11 @@ def _log_df(spec: ChainWalSpec, txs: DataFrame):
         "li", F.explode(F.sequence(F.lit(0), F.lit(spec.logs_per_tx - 1)))
     )
     seqno = F.col("block_number") * 1000 + F.col("transaction_index") * 10 + F.col("li")
-    token = F.when(seqno % 100 < spec.hot_fraction_pct, F.lit(HOT_TOKEN)).otherwise(
-        _addr("token", seqno % 37)
-    )
+    # hash-dispersed hot-key assignment (plain modulo degenerates when
+    # txs_per_block/logs_per_tx are small multiples of 10)
+    token = F.when(
+        F.pmod(F.xxhash64(seqno), F.lit(100)) < spec.hot_fraction_pct, F.lit(HOT_TOKEN)
+    ).otherwise(_addr("token", seqno % 37))
     from_a = _addr("holder", seqno % 211)
     to_a = _addr("holder", (seqno + 1) % 211)
     value_word = _word_from((seqno % 1000 + 1) * F.lit(1_000_000))

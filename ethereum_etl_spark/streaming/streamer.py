@@ -46,7 +46,13 @@ from ethereum_etl_spark.sources.wal import WalTailer
 DEFAULT_ENTITIES = (
     "block", "transaction", "receipt", "log", "token_transfer",
     "geth_trace", "trace", "internal_transfer", "contract",
-    "token_balance", "native_balance",
+    "token_balance", "native_balance", "candle",
+)
+
+CANDLE_SCHEMA_DDL = (
+    "token_address string, bucket_epoch long, bucket_start timestamp,"
+    "open decimal(38,0), high decimal(38,0), low decimal(38,0),"
+    "close decimal(38,0), volume decimal(38,0), trades long"
 )
 
 
@@ -59,6 +65,10 @@ class StreamerConfig:
     partition_size: int = 100_000  # block numbers per lake partition
     strict_counts: bool = False
     parallel_merges: bool = True
+    collect_errors: bool = False  # dead-letter malformed payloads → errors table
+    # additive schema evolution: entity → extra StructFields appearing in
+    # late payloads (SURVEY §1.3; LakeTable widens the table on first sight)
+    extra_entity_fields: dict = field(default_factory=dict)
     extra_merge_opts: dict = field(default_factory=dict)
 
 
@@ -157,6 +167,15 @@ class ChainStreamer:
             tbl("native_balances", ENTITY_SCHEMAS["native_balance"], ENTITY_KEYS["native_balance"])
             tbl("native_balances_latest", ENTITY_SCHEMAS["native_balance"], ["address"],
                 psize=10**15, stamped=False)
+        if "candle" in want and "token_transfer" in want:
+            tbl(
+                "candles_1h",
+                StructType.fromDDL(CANDLE_SCHEMA_DDL),
+                ["token_address", "bucket_epoch"],
+                prune="bucket_epoch",
+                psize=86_400,  # one lake partition per day of candles
+                stamped=False,
+            )
 
     # ---------- one sync cycle ----------
 
@@ -166,7 +185,12 @@ class ChainStreamer:
 
         def get(entity):
             if entity not in cache:
-                cache[entity] = decode_entity(batch, entity, ops=ops).cache()
+                cache[entity] = decode_entity(
+                    batch,
+                    entity,
+                    ops=ops,
+                    extra_fields=self.cfg.extra_entity_fields.get(entity),
+                ).cache()
             return cache[entity]
 
         return get, cache
@@ -207,8 +231,8 @@ class ChainStreamer:
             add("logs", stamp(logs, "log", ts_col="block_timestamp"))
         if "token_transfer" in want:
             tt = extract_token_transfers(get("log"))
-            token_transfers = tt
             tt = enrich_with_blocks(tt, get("block"))
+            token_transfers = tt  # enriched (carries block_timestamp)
             add("token_transfers", stamp(tt, "token_transfer", ts_col="block_timestamp"))
         if "geth_trace" in want:
             add("geth_traces", stamp(get("geth_trace"), "geth_trace"))
@@ -250,6 +274,57 @@ class ChainStreamer:
                 full_touch=True,
                 stamped=False,
             )
+        if "candle" in want and token_transfers is not None:
+            # deferred: recompute OHLCV for the hour buckets this batch
+            # touches, FROM the committed token_transfers table (phase 2 —
+            # after its merge), then MERGE keyed (token, bucket). This is
+            # the deterministic replay-safe alternative to streaming-state
+            # candles (SURVEY §7 'reorg vs streaming state').
+            batch_tt = token_transfers
+
+            def _candles():
+                from pyspark.sql import functions as SF
+
+                from ethereum_etl_spark.operators.candles import ohlcv
+
+                buckets = [
+                    r[0]
+                    for r in batch_tt.select(
+                        (SF.floor(SF.col("block_timestamp") / 3600) * 3600).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                if not buckets:
+                    return None, {}
+                lo_b, hi_b = min(buckets), max(buckets)
+                stored = self.tables["token_transfers"].read()
+                src = (
+                    stored.filter(
+                        SF.col("block_timestamp").between(lo_b, hi_b + 3599)
+                    )
+                    .withColumn(
+                        "bucket_epoch", SF.floor(SF.col("block_timestamp") / 3600) * 3600
+                    )
+                    .filter(SF.col("bucket_epoch").isin(buckets))
+                    .withColumn("ts", SF.to_timestamp("block_timestamp"))
+                    .withColumn(
+                        "tb", SF.struct(SF.col("block_number"), SF.col("log_index"))
+                    )
+                )
+                cand = ohlcv(
+                    src, key_col="token_address", ts_col="ts",
+                    value_col="value", tiebreak_col="tb", bucket="1 hour",
+                ).withColumn("bucket_epoch", SF.unix_timestamp("bucket_start"))
+                cand = cand.select(
+                    "token_address", "bucket_epoch", "bucket_start",
+                    "open", "high", "low", "close",
+                    SF.col("volume").cast("decimal(38,0)").alias("volume"),
+                    "trades",
+                )
+                return cand, {"touched_range": (lo_b, hi_b), "version_col": None}
+
+            add("candles_1h", None, df_fn=_candles, full_touch=True)
         return out
 
     def sync_cycle(self, tailer: WalTailer, watermark: int) -> int | None:
@@ -257,8 +332,30 @@ class ChainStreamer:
         if target is None:
             return None
         t0 = time.time()
-        batch = tailer.read_range(watermark, target).cache()
+        batch = tailer.read_range(watermark, target)
         batch_id = f"{watermark}-{target}"
+        info = self._apply_batch(batch, batch_id)
+        # watermark AFTER sink commit (streamer.py:128-132)
+        self.watermarks.set(target)
+        self.lineage.record(
+            batch_id=batch_id,
+            lo=watermark,
+            hi=target,
+            duration_s=round(time.time() - t0, 3),
+            **info,
+        )
+        return target
+
+    def _apply_batch(
+        self,
+        batch: DataFrame,
+        batch_id: str,
+        force_delete_blocks: list[int] | None = None,
+    ) -> dict:
+        """Decode → enrich → MERGE one batch of WAL rows. Returns lineage
+        info. ``force_delete_blocks``: treat these block numbers as reorged
+        regardless of op (the verifier repair path)."""
+        batch = batch.cache()
 
         # ONE stats pass over the batch: block span + reorg presence. The
         # span becomes the touched-partition hint for every table MERGE —
@@ -269,23 +366,27 @@ class ChainStreamer:
             F.sum(F.when(F.col("op") == "reorg", 1).otherwise(0)).alias("n_reorg"),
         ).first()
         if stats["lo"] is None:  # empty range
-            self.watermarks.set(target)
             batch.unpersist()
-            return target
+            return {"entities": [], "reorg": False, "rows": 0}
         lo_bn, hi_bn = int(stats["lo"]), int(stats["hi"])
-        has_reorg = (stats["n_reorg"] or 0) > 0
+        has_reorg = (stats["n_reorg"] or 0) > 0 or bool(force_delete_blocks)
 
-        reorg_blocks: list[int] = []
+        reorg_blocks: list[int] = list(force_delete_blocks or [])
         if has_reorg:
-            # winning (latest-seq) hash per reorged block
+            # winning (latest-seq) hash per superseded block
             # (clickhouse_eth_streamer_adapter.py:815-890)
+            contested = F.col("op") == "reorg"
+            if force_delete_blocks:
+                contested = contested | F.col("block_number").isin(force_delete_blocks)
             winners = (
-                batch.filter(F.col("op") == "reorg")
+                batch.filter(contested)
                 .groupBy("block_number")
                 .agg(F.max_by("block_hash", "seq").alias("__winning_hash"))
                 .collect()
             )
-            reorg_blocks = [int(r["block_number"]) for r in winners]
+            reorg_blocks = sorted(
+                {int(r["block_number"]) for r in winners} | set(reorg_blocks)
+            )
             wdf = self.spark.createDataFrame(
                 [(r["block_number"], r["__winning_hash"]) for r in winners],
                 "block_number long, __winning_hash string",
@@ -305,11 +406,17 @@ class ChainStreamer:
 
         def _merge_one(name: str, spec: dict) -> None:
             t = self.tables[name]
+            if spec.get("df_fn") is not None:
+                df, overrides = spec["df_fn"]()
+                if df is None:
+                    return
+                spec = {**spec, **overrides, "df": df}
             df = spec["df"]
             full_touch = spec.get("full_touch", False)
+            block_keyed = "touched_range" not in spec and not full_touch
             dk = None
             dkc = None
-            if has_reorg and not full_touch:
+            if has_reorg and block_keyed:
                 prune = t.manifest().prune_col
                 dk = self.spark.createDataFrame(
                     [(b,) for b in reorg_blocks], f"{prune} long"
@@ -319,16 +426,19 @@ class ChainStreamer:
                 "version_col",
                 "_ingest_seq" if "_ingest_seq" in df.columns else None,
             )
+            # full_touch tables (latest-state projections) always rewrite
+            # their single partition; deferred specs carry their own range
+            touched = spec.get(
+                "touched_range", (0, 0) if full_touch else (lo_bn, hi_bn)
+            )
             t.merge_upsert(
                 df,
                 batch_id=batch_id,
                 version_col=version_col,
                 delete_keys=dk,
                 delete_key_cols=dkc,
-                # full_touch tables (latest-state projections) always rewrite
-                # their single partition
-                touched_range=(0, 0) if full_touch else (lo_bn, hi_bn),
-                extra_touched_values=None if full_touch else reorg_blocks,
+                touched_range=touched,
+                extra_touched_values=reorg_blocks if block_keyed else None,
             )
 
         # per-entity MERGEs are independent (separate tables) → submit
@@ -352,21 +462,87 @@ class ChainStreamer:
         _run({n: s for n, s in derived.items() if not s.get("full_touch")})
         _run({n: s for n, s in derived.items() if s.get("full_touch")})
 
+        if self.cfg.collect_errors:
+            self._append_decode_errors(batch, batch_id)
+
         for cdf in cache.values():
             cdf.unpersist()
         batch.unpersist()
+        return {
+            "entities": list(derived),
+            "reorg": bool(has_reorg),
+            "lo_block": lo_bn,
+            "hi_block": hi_bn,
+        }
 
-        # watermark AFTER sink commit (streamer.py:128-132)
-        self.watermarks.set(target)
-        self.lineage.record(
-            batch_id=batch_id,
-            lo=watermark,
-            hi=target,
-            entities=list(derived),
-            reorg=bool(has_reorg),
-            duration_s=round(time.time() - t0, 3),
+    # ---------- dead-letter channel ----------
+
+    def _append_decode_errors(self, batch: DataFrame, batch_id: str) -> None:
+        """Rows whose payload fails to parse → errors table (the reference's
+        errors entity / DLQ, export_receipts_job.py:93-106 analog)."""
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        from ethereum_etl_spark.sources.decode import raw_json_schema
+
+        known = [e for e in self.cfg.entity_types if e in ENTITY_SCHEMAS]
+        conds = None
+        for e in known:
+            raw = StructType(
+                list(raw_json_schema(e).fields)
+                + [StructField("_corrupt", StringType(), True)]
+            )
+            parsed = F.from_json(
+                "payload", raw, {"columnNameOfCorruptRecord": "_corrupt"}
+            )
+            bad = (F.col("entity_type") == e) & parsed["_corrupt"].isNotNull()
+            conds = bad if conds is None else (conds | bad)
+        if conds is None:
+            return
+        errs = batch.filter(conds).select(
+            F.col("seq").alias("timestamp"),
+            F.concat(F.lit("decode_error:"), F.col("entity_type")).alias("kind"),
+            F.col("payload").alias("data"),
         )
-        return target
+        if "errors" not in self.tables:
+            self.tables["errors"] = LakeTable.create(
+                self.spark,
+                f"{self.cfg.warehouse}/errors",
+                ENTITY_SCHEMAS["error"],
+                key=ENTITY_KEYS["error"],
+                prune_col="timestamp",
+                partition_size=10**9,
+                if_not_exists=True,
+            )
+        if errs.limit(1).count() > 0:
+            self.tables["errors"].append(errs, batch_id=f"err-{batch_id}")
+
+    # ---------- reorg verifier (clickhouse_eth_streamer_adapter.py:789-943) ----------
+
+    def detect_reorged_blocks(self, canonical_blocks: DataFrame) -> list[int]:
+        """Compare stored block (number, hash) against a canonical view
+        (e.g. the chain head); return mismatched block numbers."""
+        stored = self.tables["blocks"].read().select("number", "hash")
+        canon = canonical_blocks.select(
+            F.col("number").alias("number"), F.col("hash").alias("__canon_hash")
+        )
+        return [
+            int(r["number"])
+            for r in stored.join(canon, on="number")
+            .filter(F.col("hash") != F.col("__canon_hash"))
+            .select("number")
+            .collect()
+        ]
+
+    def repair_blocks(self, wal: DataFrame, block_numbers: list[int]) -> None:
+        """Re-export the given blocks from the WAL: delete+upsert every
+        entity for those block numbers using the latest-seq WAL rows —
+        the mark-as-reorged + re-export path (ch_adapter:839-942)."""
+        if not block_numbers:
+            return
+        sub = wal.filter(F.col("block_number").isin(block_numbers))
+        batch_id = "repair-" + "-".join(str(b) for b in sorted(block_numbers)[:8])
+        self._apply_batch(sub, batch_id, force_delete_blocks=block_numbers)
+        self.lineage.record(batch_id=batch_id, repaired_blocks=block_numbers)
 
     def run(self, tailer: WalTailer, start: int = 0, max_cycles: int | None = None) -> int:
         """Replay until caught up. Returns final watermark."""

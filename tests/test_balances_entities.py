@@ -123,3 +123,40 @@ def test_balances_carry_across_batches(spark, tmp_path):
         }
 
     assert run("one", 10_000) == run("many", 30)
+
+
+def test_candles_incremental_vs_batch(spark, tmp_path):
+    """Candles MERGEd incrementally across micro-batches must equal candles
+    computed in one shot over the final transfers table (replay-safe
+    deterministic recompute, SURVEY §7 hard-point 4)."""
+    from ethereum_etl_spark.operators.candles import ohlcv
+
+    spec = ChainWalSpec(start_block=0, end_block=23, txs_per_block=2, logs_per_tx=2)
+    wal_path = str(tmp_path / "wal")
+    generate_chain_wal(spark, spec).write.mode("overwrite").parquet(wal_path)
+    wal = spark.read.parquet(wal_path)
+
+    cfg = StreamerConfig(warehouse=str(tmp_path / "wh"), batch_size=60, partition_size=10)
+    s = ChainStreamer(spark, cfg)
+    s.run(WalTailer(wal, batch_size=60))
+
+    got = {
+        (r["token_address"], r["bucket_epoch"]): (
+            int(r["open"]), int(r["high"]), int(r["low"]), int(r["close"]),
+            int(r["volume"]), r["trades"],
+        )
+        for r in s.tables["candles_1h"].read().collect()
+    }
+    tt = (
+        s.tables["token_transfers"].read()
+        .withColumn("ts", F.to_timestamp("block_timestamp"))
+        .withColumn("tb", F.struct(F.col("block_number"), F.col("log_index")))
+    )
+    want = {
+        (r["token_address"], int(r["bucket_start"].timestamp())): (
+            int(r["open"]), int(r["high"]), int(r["low"]), int(r["close"]),
+            int(r["volume"]), r["trades"],
+        )
+        for r in ohlcv(tt, "token_address", "ts", "value", "tb", "1 hour").collect()
+    }
+    assert got == want and len(got) > 0
