@@ -268,13 +268,20 @@ class LakeTable:
         out_rel = os.path.join(DATA_DIR, f"v{version:012d}")
         out_abs = os.path.join(self.root, out_rel)
         pt = F.floor(F.col(m.prune_col).cast("double") / m.partition_size).cast("long")
+        # shuffle keyed by (pt, key-salt): write parallelism is not capped by
+        # the number of touched lake partitions (a micro-batch touches few
+        # pts but has plenty of rows); AQE coalesces the salted shuffle back
+        # down when the batch is small, so tiny tables don't fragment.
+        # sortWithinPartitions keeps the Iceberg-style sort order
+        # (eth_streamer_adapter.py:80-102) so min/max file skipping on the
+        # key stays tight at scale.
+        salt = F.pmod(
+            F.xxhash64(*[F.col(k) for k in m.key]),
+            F.lit(self.spark.sparkContext.defaultParallelism),
+        )
         (
             df.withColumn("pt", F.coalesce(pt, F.lit(-1)))
-            # one shuffle keyed by partition → each task writes few files;
-            # sortWithinPartitions keeps the Iceberg-style sort order
-            # (eth_streamer_adapter.py:80-102 deterministic sort) so min/max
-            # file skipping on the key stays tight at scale.
-            .repartition("pt")
+            .repartition(F.col("pt"), salt)
             .sortWithinPartitions(*m.key)
             .write.partitionBy("pt")
             .mode("overwrite")

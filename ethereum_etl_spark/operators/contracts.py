@@ -113,15 +113,20 @@ def with_token_flags(contracts: DataFrame, sighash_col: str = "function_sighashe
     )
 
 
-def extract_contracts(geth_traces: DataFrame) -> DataFrame:
+def extract_contracts(
+    geth_traces: DataFrame | None = None, frames: DataFrame | None = None
+) -> DataFrame:
     """P9: contract rows from create-frames of the geth call trees.
 
     Root-frame filter per extract_contracts_job.py:60-67 (type=create,
     non-empty to, no error); bytecode = output; sighash UDF + flags.
+    Pass pre-flattened ``frames`` to reuse the trace-flatten pass (the
+    streamer derives traces anyway — don't walk the JSON trees twice).
     """
-    from ethereum_etl_spark.operators.traces import flatten_geth_traces
+    if frames is None:
+        from ethereum_etl_spark.operators.traces import flatten_geth_traces
 
-    frames = flatten_geth_traces(geth_traces)
+        frames = flatten_geth_traces(geth_traces)
     created = frames.filter(
         (F.size("trace_address") == 0)  # ROOT frames only, like the reference
         & (F.col("trace_type") == "create")

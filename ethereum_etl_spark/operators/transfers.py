@@ -17,9 +17,10 @@ parse is an Arrow-batched pandas UDF):
   offsets→lengths→slices, one output row per zipped (id, value)  (:145-171)
 - anonymous/unknown logs (topics null or <3) silently dropped  (:180-186)
 
-Scale: the dispatch filter on topics[0] is sargable and pushes to the scan
-when logs are stored with topic0 as a top-level column; the explode of 1155
-batches is the only row-multiplying op.
+SINGLE-PASS plan shape: one scan of the logs, one `when`-dispatched
+transfers-array column, one explode, one shared uint256 decode. (A naive
+per-standard union would scan the log table once per standard — 4x the I/O
+at 100 TB.)
 """
 
 from __future__ import annotations
@@ -27,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ethereum_etl_spark.functions.hex import hex_to_dec38, split_to_words, to_normalized_address, word_to_address
+from ethereum_etl_spark.functions.hex import (
+    hex_to_dec38,
+    split_to_words,
+    to_normalized_address,
+    word_to_address,
+)
 
 # keccak-derived constants (see functions/keccak.py; values asserted in tests
 # against the canonical Ethereum topics)
@@ -36,137 +42,137 @@ ERC1155_SINGLE_TOPIC = "0xc3d58168c5ae7397731d063d5bbf3d657854427343f4c083240f7a
 ERC1155_BATCH_TOPIC = "0x4a39dc06d4c0dbc64b70af90fd698a233a518aa5d07e595d983b8c0526c8f7fb"
 ALL_TRANSFER_TOPICS = [TRANSFER_EVENT_TOPIC, ERC1155_SINGLE_TOPIC, ERC1155_BATCH_TOPIC]
 
-
-def _base_cols(df):
-    cols = [
-        to_normalized_address(F.col("address")).alias("token_address"),
-        F.col("transaction_hash"),
-        F.col("log_index"),
-        F.col("block_number"),
-    ]
-    if "_ingest_seq" in df.columns:  # WAL position passthrough for MERGE versioning
-        cols.append(F.col("_ingest_seq"))
-    return cols
+_RAW_STRUCT_DDL = (
+    "array<struct<std:string,frm_w:string,to_w:string,"
+    "value_w:string,token_id_w:string,operator_w:string>>"
+)
 
 
 def _passthrough(df):
     return [F.col("_ingest_seq")] if "_ingest_seq" in df.columns else []
 
 
-def _u256(word_col) -> F.Column:
-    """0x-less 64-char word → Decimal(38,0) via the Arrow uint256 UDF."""
-    return hex_to_dec38(F.concat(F.lit("0x"), word_col))
-
-
 def extract_token_transfers(logs: DataFrame) -> DataFrame:
     """logs(log_index, transaction_hash, block_number, address, data,
     topics) → token_transfers rows per TOKEN_TRANSFER_SCHEMA field set."""
+
+    def t(i):  # 0x-less topic word i
+        return F.get("t", i)
+
+    def w(i):  # data word i
+        return F.get("w", i)
+
     base = logs.filter(
         F.col("topics").isNotNull()
         & (F.size("topics") >= 3)
         & F.lower(F.get("topics", 0)).isin(ALL_TRANSFER_TOPICS)
     ).select(
-        *_base_cols(logs),
+        to_normalized_address(F.col("address")).alias("token_address"),
+        F.col("transaction_hash"),
+        F.col("log_index"),
+        F.col("block_number"),
+        *_passthrough(logs),
         F.size("topics").alias("n_topics"),
         F.lower(F.get("topics", 0)).alias("topic0"),
-        F.transform(F.col("topics"), lambda t: F.regexp_replace(t, "^0x", "")).alias("t"),
+        F.transform(F.col("topics"), lambda x: F.regexp_replace(x, "^0x", "")).alias("t"),
         split_to_words(F.col("data")).alias("w"),
-        F.col("data"),
     )
 
-    # --- ERC-20: (3 topics, Transfer) and exactly 1 data word
-    erc20 = (
-        base.filter((F.col("n_topics") == 3) & (F.col("topic0") == TRANSFER_EVENT_TOPIC))
-        .filter(F.size("w") == 1)  # weird-event skip rule (:67-75)
-        .select(
-            "token_address",
-            F.lit("ERC20").alias("token_standard"),
-            word_to_address(F.get("t", 1)).alias("from_address"),
-            word_to_address(F.get("t", 2)).alias("to_address"),
-            _u256(F.get("w", 0)).alias("value"),
-            "transaction_hash",
-            "log_index",
-            "block_number",
-            F.lit(None).cast("decimal(38,0)").alias("token_id"),
-            F.lit(None).cast("string").alias("operator_address"),
-            *_passthrough(base),
+    def raw(std, frm, to, value_w, token_id_w, operator_w):
+        """One raw transfer as a struct of hex words (decoded after explode)."""
+        return F.struct(
+            F.lit(std).alias("std"),
+            frm.alias("frm_w"),
+            to.alias("to_w"),
+            value_w.alias("value_w"),
+            token_id_w.alias("token_id_w"),
+            operator_w.alias("operator_w"),
         )
+
+    null_w = F.lit(None).cast("string")
+    is_erc20 = (
+        (F.col("n_topics") == 3)
+        & (F.col("topic0") == TRANSFER_EVENT_TOPIC)
+        & (F.size("w") == 1)  # weird-event skip rule (:67-75)
+    )
+    is_erc721 = (F.col("n_topics") == 4) & (F.col("topic0") == TRANSFER_EVENT_TOPIC)
+    is_single = (
+        (F.col("n_topics") == 4)
+        & (F.col("topic0") == ERC1155_SINGLE_TOPIC)
+        & (F.size("w") >= 2)
+    )
+    # ERC-1155 batch: ABI (uint256[], uint256[]) — offsets are bytes from
+    # data start; word index = offset/32; at each offset: length, items…
+    off_ids = (F.conv(w(0), 16, 10).cast("long") / 32).cast("int")
+    off_vals = (F.conv(w(1), 16, 10).cast("long") / 32).cast("int")
+    len_ids = F.conv(F.get("w", off_ids), 16, 10).cast("int")
+    len_vals = F.conv(F.get("w", off_vals), 16, 10).cast("int")
+    n_pairs = F.least(len_ids, len_vals)  # zip() stops at the shorter array
+    batch_ok = (
+        (F.col("n_topics") == 4)
+        & (F.col("topic0") == ERC1155_BATCH_TOPIC)
+        & (F.size("w") >= 4)
+        & n_pairs.isNotNull()  # malformed-data skip (:150-157)
+        & (off_ids + 1 + len_ids <= F.size("w"))
+        & (off_vals + 1 + len_vals <= F.size("w"))
     )
 
-    # --- ERC-721: (4 topics, Transfer); value = first data word or 0
-    erc721 = base.filter(
-        (F.col("n_topics") == 4) & (F.col("topic0") == TRANSFER_EVENT_TOPIC)
-    ).select(
-        "token_address",
-        F.lit("ERC721").alias("token_standard"),
-        word_to_address(F.get("t", 1)).alias("from_address"),
-        word_to_address(F.get("t", 2)).alias("to_address"),
-        F.coalesce(
-            F.when(F.size("w") >= 1, _u256(F.get("w", 0))), F.lit(0).cast("decimal(38,0)")
-        ).alias("value"),
-        "transaction_hash",
-        "log_index",
-        "block_number",
-        _u256(F.get("t", 3)).alias("token_id"),
-        F.lit(None).cast("string").alias("operator_address"),
-        *_passthrough(base),
-    )
-
-    # --- ERC-1155 single: data = 2 static words (id, value); malformed → skip
-    single = base.filter(
-        (F.col("n_topics") == 4) & (F.col("topic0") == ERC1155_SINGLE_TOPIC)
-    ).filter(F.size("w") >= 2).select(
-        "token_address",
-        F.lit("ERC1155").alias("token_standard"),
-        word_to_address(F.get("t", 2)).alias("from_address"),
-        word_to_address(F.get("t", 3)).alias("to_address"),
-        _u256(F.get("w", 1)).alias("value"),
-        "transaction_hash",
-        "log_index",
-        "block_number",
-        _u256(F.get("w", 0)).alias("token_id"),
-        word_to_address(F.get("t", 1)).alias("operator_address"),
-        *_passthrough(base),
-    )
-
-    # --- ERC-1155 batch: ABI (uint256[], uint256[]) — offsets are in bytes
-    # from data start; word index = offset/32. Layout:
-    #   w[0]=offset(ids) w[1]=offset(values); at each offset: length, items…
-    off_ids = (F.conv(F.get("w", 0), 16, 10).cast("long") / 32).cast("int")
-    off_vals = (F.conv(F.get("w", 1), 16, 10).cast("long") / 32).cast("int")
-    batch = (
-        base.filter((F.col("n_topics") == 4) & (F.col("topic0") == ERC1155_BATCH_TOPIC))
-        .filter(F.size("w") >= 4)
-        .withColumn("len_ids", F.conv(F.get("w", off_ids), 16, 10).cast("int"))
-        .withColumn("len_vals", F.conv(F.get("w", off_vals), 16, 10).cast("int"))
-        .withColumn("n", F.least("len_ids", "len_vals"))  # zip() stops at min
-        .filter(  # malformed-data skip (:150-157): slices must fit
-            F.col("n").isNotNull()
-            & (off_ids + 1 + F.col("len_ids") <= F.size("w"))
-            & (off_vals + 1 + F.col("len_vals") <= F.size("w"))
-        )
-        .withColumn(
-            "pair",
-            F.explode(
-                F.arrays_zip(
-                    F.slice(F.col("w"), off_ids + 2, F.col("n")).alias("id_w"),
-                    F.slice(F.col("w"), off_vals + 2, F.col("n")).alias("val_w"),
+    transfers_arr = (
+        F.when(is_erc20, F.array(raw("ERC20", t(1), t(2), w(0), null_w, null_w)))
+        .when(
+            is_erc721,
+            F.array(
+                raw(
+                    "ERC721",
+                    t(1),
+                    t(2),
+                    # value = first data word, 0 when data empty (:92-105)
+                    F.coalesce(w(0), F.lit("0")),
+                    t(3),
+                    null_w,
                 )
             ),
         )
-        .select(
-            "token_address",
-            F.lit("ERC1155").alias("token_standard"),
-            word_to_address(F.get("t", 2)).alias("from_address"),
-            word_to_address(F.get("t", 3)).alias("to_address"),
-            _u256(F.col("pair.val_w")).alias("value"),
-            "transaction_hash",
-            "log_index",
-            "block_number",
-            _u256(F.col("pair.id_w")).alias("token_id"),
-            word_to_address(F.get("t", 1)).alias("operator_address"),
-            *_passthrough(base),
+        .when(is_single, F.array(raw("ERC1155", t(2), t(3), w(1), w(0), t(1))))
+        .when(
+            batch_ok,
+            F.zip_with(
+                F.slice(F.col("w"), off_ids + 2, n_pairs),
+                F.slice(F.col("w"), off_vals + 2, n_pairs),
+                lambda id_w, val_w: raw("ERC1155", t(2), t(3), val_w, id_w, t(1)),
+            ),
         )
+        .otherwise(F.lit(None).cast(_RAW_STRUCT_DDL))
     )
 
-    return erc20.unionByName(erc721).unionByName(single).unionByName(batch)
+    exploded = base.select(
+        "token_address",
+        "transaction_hash",
+        "log_index",
+        "block_number",
+        *_passthrough(base),
+        F.explode(transfers_arr).alias("x"),
+    )
+
+    def u256(word_col):
+        return hex_to_dec38(F.concat(F.lit("0x"), word_col))
+
+    value = u256(F.col("x.value_w"))
+    # ERC-721 value-decode fallback to 0 on garbage data (:99-105)
+    value = F.when(
+        (F.col("x.std") == "ERC721") & value.isNull(), F.lit(0).cast("decimal(38,0)")
+    ).otherwise(value)
+
+    return exploded.select(
+        "token_address",
+        F.col("x.std").alias("token_standard"),
+        word_to_address(F.col("x.frm_w")).alias("from_address"),
+        word_to_address(F.col("x.to_w")).alias("to_address"),
+        value.alias("value"),
+        "transaction_hash",
+        "log_index",
+        "block_number",
+        u256(F.col("x.token_id_w")).alias("token_id"),
+        word_to_address(F.col("x.operator_w")).alias("operator_address"),
+        *_passthrough(exploded),
+    )

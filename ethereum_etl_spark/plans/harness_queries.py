@@ -805,6 +805,20 @@ def q30(spark, sf):
 
 # --- rows-only checks (non-SQL-expressible or stubbed surface) -------------
 
+@_q("q36_minhash_lsh_fast", None)
+def q36(spark, sf):
+    """MinHash+LSH scale path: xxhash64 signatures (no hex-string
+    materialization) — the variant a 100 TB dedup run would use. Rows-only
+    (the md5 twin q27 carries the oracle)."""
+    return minhash_lsh_pairs(
+        ld(spark, sf, "documents"),
+        num_hashes=16,
+        bands=4,  # 4-slot bands: collision prob j^4 — far fewer candidates
+        hash_fn="xxhash64",
+        max_bucket=64,  # drop boilerplate mega-buckets (quadratic guard)
+    )
+
+
 @_q("q31_simhash_near_dups", None)
 def q31(spark, sf):
     """SimHash near-dup pairs (bit-level Hamming; rows-only check — 64-bit

@@ -63,21 +63,14 @@ def decode_entity(
     schema = StructType(
         list(ENTITY_SCHEMAS[entity_type].fields) + list(extra_fields or [])
     )
-    raw = StructType(
-        list(raw_json_schema(entity_type, extra_fields).fields)
-        + [StructField("_corrupt", StringType(), True)]
-    )
-    sel = [
-        F.from_json("payload", raw, {"columnNameOfCorruptRecord": "_corrupt"}).alias("r")
-    ]
+    raw = raw_json_schema(entity_type, extra_fields)
+    sel = [F.from_json("payload", raw).alias("r")]
     if include_seq and "seq" in wal_batch.columns:
         sel.append(F.col("seq").alias("_ingest_seq"))
     df = wal_batch.filter(
         (F.col("entity_type") == entity_type) & F.col("op").isin(*ops)
     ).select(*sel)
-    # unparseable payloads go to the dead-letter channel, never into tables
-    df = df.filter(F.col("r._corrupt").isNull())
-    df = df.select("r.*", *(["_ingest_seq"] if len(sel) > 1 else [])).drop("_corrupt")
+    df = df.select("r.*", *(["_ingest_seq"] if len(sel) > 1 else []))
     cols = []
     for f in schema.fields:
         c = F.col(f.name)
@@ -89,3 +82,17 @@ def decode_entity(
     if "_ingest_seq" in df.columns:
         cols.append(F.col("_ingest_seq"))
     return df.select(*cols)
+
+
+def drop_null_keys(decoded: DataFrame, entity_type: str) -> DataFrame:
+    """Dead-letter guard: unparseable payloads decode to all-null rows
+    (Spark 4 PERMISSIVE); drop rows missing any REQUIRED (non-nullable)
+    field. Apply this ABOVE a cache()/materialization boundary — fused into
+    the decode plan, Catalyst pushes the predicate below the projection and
+    duplicates the from_json parse into the filter (verified on the
+    physical plan)."""
+    out = decoded
+    for f in ENTITY_SCHEMAS[entity_type].fields:
+        if not f.nullable:
+            out = out.filter(F.col(f.name).isNotNull())
+    return out

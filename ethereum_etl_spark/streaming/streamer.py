@@ -183,6 +183,10 @@ class ChainStreamer:
         """Decode raw entities once, cached — the memoized thunk DAG."""
         cache = {}
 
+        from ethereum_etl_spark.sources.decode import drop_null_keys
+
+        views = {}
+
         def get(entity):
             if entity not in cache:
                 cache[entity] = decode_entity(
@@ -191,11 +195,14 @@ class ChainStreamer:
                     ops=ops,
                     extra_fields=self.cfg.extra_entity_fields.get(entity),
                 ).cache()
-            return cache[entity]
+                # null-key guard sits ABOVE the cache boundary so the JSON
+                # parse runs exactly once (see drop_null_keys docstring)
+                views[entity] = drop_null_keys(cache[entity], entity)
+            return views[entity]
 
         return get, cache
 
-    def _derive(self, get) -> dict[str, dict]:
+    def _derive(self, get, aux_cache: list | None = None) -> dict[str, dict]:
         """Entity name → {df, merge opts} (decode + enrich + stamp).
 
         The demand-driven DAG of eth_streamer_adapter.py:184-260: parents
@@ -234,16 +241,22 @@ class ChainStreamer:
             tt = enrich_with_blocks(tt, get("block"))
             token_transfers = tt  # enriched (carries block_timestamp)
             add("token_transfers", stamp(tt, "token_transfer", ts_col="block_timestamp"))
+        flat_frames = None
         if "geth_trace" in want:
             add("geth_traces", stamp(get("geth_trace"), "geth_trace"))
+        if "trace" in want or "contract" in want:
+            # ONE tree-flatten pass shared by traces and contracts (the
+            # mapInPandas walk is the costliest Python stage in the cycle)
+            flat_frames = flatten_geth_traces(get("geth_trace")).cache()
+            if aux_cache is not None:
+                aux_cache.append(flat_frames)
         if "trace" in want:
-            traces = assign_trace_index(flatten_geth_traces(get("geth_trace")))
-            add("traces", stamp(traces, "trace"))
+            add("traces", stamp(assign_trace_index(flat_frames), "trace"))
         if "internal_transfer" in want:
             itr = extract_internal_transfers(get("geth_trace"))
             add("internal_transfers", stamp(itr, "internal_transfer"))
         if "contract" in want:
-            add("contracts", stamp(extract_contracts(get("geth_trace")), "contract"))
+            add("contracts", stamp(extract_contracts(frames=flat_frames), "contract"))
         if "token_balance" in want and token_transfers is not None:
             carry = self.tables["token_balances_latest"].read()
             tb = token_balances_from_transfers(token_transfers, carry_in=carry)
@@ -402,7 +415,8 @@ class ChainStreamer:
             )
 
         get, cache = self._decode_batch(batch)
-        derived = self._derive(get)
+        aux_cache: list = []
+        derived = self._derive(get, aux_cache)
 
         def _merge_one(name: str, spec: dict) -> None:
             t = self.tables[name]
@@ -465,7 +479,7 @@ class ChainStreamer:
         if self.cfg.collect_errors:
             self._append_decode_errors(batch, batch_id)
 
-        for cdf in cache.values():
+        for cdf in list(cache.values()) + aux_cache:
             cdf.unpersist()
         batch.unpersist()
         return {
