@@ -1,0 +1,195 @@
+"""ABI event decode against an event-inventory dimension (P4 + J10).
+
+Re-expresses /root/reference/ethereumetl/service/eth_resolve_log_service.py:60-163
+and the event_inventory warehouse objects (db/migrations/schema.sql:887-946):
+
+- EventInventory rows are keyed (event_signature_hash == keccak(signature),
+  topic_count) with namespaces/contract names accumulated as sorted distinct
+  arrays — the MV's arraySort(arrayDistinct(arrayConcat(...))) LEFT-JOIN merge
+  (schema.sql:917-946) becomes ``merge_inventory`` (groupBy + array_union +
+  MERGE by key).
+- ``parse_logs`` dispatches logs on (topics[0], size(topics)) via a BROADCAST
+  join against the inventory (it is a small dimension) and decodes the event
+  parameters columnar: indexed params come from topics[1..], data params from
+  64-char data words, per the ABI input list in the inventory row. Static
+  types only (address/uintN/intN/bool/bytes32) — the reference's web3
+  process_log handles the same set for its DEX ABIs; dynamic types fall back
+  to raw words. Output ``parsed_event`` is a MapType(name → decoded string),
+  the Spark rendering of ParsedReceiptLog.parsed_event
+  (domain/receipt_log.py:38-46).
+
+No Python in the decode path: the parameter slicing is built from the
+inventory's param layout with transform/element_at over the word arrays.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ethereum_etl_spark.functions.hex import split_to_words
+from ethereum_etl_spark.functions.keccak import keccak256
+
+
+@dataclass
+class EventAbi:
+    name: str
+    inputs: list[dict]  # [{name, type, indexed}]
+    namespace: str = "default"
+    contract_name: str = "unknown"
+
+    @property
+    def signature(self) -> str:
+        return f"{self.name}({','.join(i['type'] for i in self.inputs)})"
+
+    @property
+    def topic0(self) -> str:
+        return keccak256(self.signature)
+
+    @property
+    def topic_count(self) -> int:
+        return 1 + sum(1 for i in self.inputs if i.get("indexed"))
+
+
+INVENTORY_DDL = (
+    "event_signature_hash string, event_topic_count int, event_signature string,"
+    "event_name string, namespace array<string>, contract_name array<string>,"
+    "event_abi_json string"
+)
+
+
+def inventory_rows(abis: list[EventAbi]):
+    return [
+        (
+            a.topic0,
+            a.topic_count,
+            a.signature,
+            a.name,
+            [a.namespace],
+            [a.contract_name],
+            json.dumps({"name": a.name, "inputs": a.inputs}),
+        )
+        for a in abis
+    ]
+
+
+def build_inventory(spark: SparkSession, abis: list[EventAbi]) -> DataFrame:
+    return spark.createDataFrame(inventory_rows(abis), INVENTORY_DDL)
+
+
+def merge_inventory(existing: DataFrame, src: DataFrame) -> DataFrame:
+    """J10 (schema.sql:917-946): new src rows LEFT JOIN existing inventory,
+    namespaces/contract names merged as sorted distinct arrays, keyed
+    (event_signature_hash, event_topic_count)."""
+    key = ["event_signature_hash", "event_topic_count"]
+    dst = existing.select(
+        *key,
+        F.col("namespace").alias("__dst_ns"),
+        F.col("contract_name").alias("__dst_cn"),
+    )
+    merged_src = (
+        src.join(dst, on=key, how="left")
+        .withColumn(
+            "namespace",
+            F.array_sort(F.array_distinct(F.concat(
+                F.coalesce("__dst_ns", F.array().cast("array<string>")), F.col("namespace")
+            ))),
+        )
+        .withColumn(
+            "contract_name",
+            F.array_sort(F.array_distinct(F.concat(
+                F.coalesce("__dst_cn", F.array().cast("array<string>")), F.col("contract_name")
+            ))),
+        )
+        .drop("__dst_ns", "__dst_cn")
+    )
+    untouched = existing.join(src.select(*key), on=key, how="left_anti")
+    return untouched.unionByName(merged_src)
+
+
+def _decode_param(word, ptype: str):
+    """64-hex-char word → decoded string per static ABI type."""
+    if ptype == "address":
+        return F.concat(F.lit("0x"), F.lower(F.substring(word, 25, 40)))
+    if ptype == "bool":
+        return F.when(F.conv(word, 16, 10) == "1", F.lit("true")).otherwise(F.lit("false"))
+    if ptype.startswith(("uint", "int")):
+        # decimal string; conv is exact through 64 bits, larger values keep
+        # the hex form (documented static-decode limit; the Arrow uint256
+        # path is available downstream when numeric math is needed)
+        return F.when(
+            F.length(F.regexp_replace(word, "^0+", "")) <= 15,
+            F.conv(word, 16, 10),
+        ).otherwise(F.concat(F.lit("0x"), word))
+    # bytes32 / unknown / dynamic → raw word
+    return F.concat(F.lit("0x"), word)
+
+
+def parse_logs(
+    logs: DataFrame,
+    inventory: DataFrame,
+    abis: list[EventAbi],
+    filter_for_events: list[str] | None = None,
+) -> DataFrame:
+    """logs × broadcast(inventory) on (topic0, topic_count) → parsed rows
+    with event_name and parsed_event map (param name → decoded value).
+
+    The per-event param layout is compiled driver-side from ``abis`` into a
+    single when-chain (the inventory is small and static per deployment, like
+    the reference's ABI directory)."""
+    base = (
+        logs.filter(F.col("topics").isNotNull() & (F.size("topics") >= 1))
+        .withColumn("event_signature_hash", F.lower(F.get("topics", 0)))
+        .withColumn("event_topic_count", F.size("topics"))
+        .join(
+            F.broadcast(
+                inventory.select(
+                    "event_signature_hash", "event_topic_count",
+                    "event_signature", "event_name", "namespace",
+                )
+            ),
+            on=["event_signature_hash", "event_topic_count"],
+            how="inner",
+        )
+    )
+    if filter_for_events:
+        base = base.filter(F.col("event_name").isin(filter_for_events))
+
+    base = base.withColumn(
+        "t", F.transform(F.col("topics"), lambda x: F.regexp_replace(x, "^0x", ""))
+    ).withColumn("w", split_to_words(F.col("data")))
+
+    # compile param extraction per (topic0, count) into one when-chain
+    parsed = F.lit(None).cast("map<string,string>")
+    for abi in abis:
+        cond = (F.col("event_signature_hash") == abi.topic0) & (
+            F.col("event_topic_count") == abi.topic_count
+        )
+        entries = []
+        ti, wi = 1, 0  # indexed params from topics[1..], rest from data words
+        for inp in abi.inputs:
+            if inp.get("indexed"):
+                word = F.get("t", ti)
+                ti += 1
+            else:
+                word = F.get("w", wi)
+                wi += 1
+            entries.append(F.lit(inp["name"]))
+            entries.append(_decode_param(word, inp["type"]))
+        parsed = F.when(cond, F.create_map(*entries)).otherwise(parsed)
+
+    return base.withColumn("parsed_event", parsed).select(
+        "block_number",
+        "transaction_hash",
+        "log_index",
+        F.col("address").alias("contract_address"),
+        "event_signature_hash",
+        "event_topic_count",
+        "event_name",
+        "event_signature",
+        "namespace",
+        "parsed_event",
+    )

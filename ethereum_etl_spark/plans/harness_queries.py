@@ -953,6 +953,105 @@ def q35(spark, sf):
     )
 
 
+@_q(
+    "q37_dex_trade_assembly",
+    """
+    WITH pairs AS (
+      SELECT o_orderkey,
+             '0x' || lpad(lower(to_hex(o_orderkey % 50)), 40, '0') AS pool_address,
+             md5(CAST(o_orderkey AS VARCHAR)) AS tx,
+             CAST(o_custkey AS DOUBLE) AS a0in,
+             CAST(o_totalprice AS DOUBLE) AS a1out,
+             CAST(1000 + o_orderkey % 97 AS DOUBLE) AS r0,
+             CAST(5000 + o_orderkey % 89 AS DOUBLE) AS r1
+      FROM orders WHERE o_orderkey <= 4096)
+    SELECT pool_address, tx AS transaction_hash, o_orderkey AS block_number,
+           'swap' AS event_type,
+           round(a0in / 1000000.0, 6) AS amount0,
+           round(-a1out / 1e18, 6) AS amount1,
+           round(r0 / 1000000.0, 6) AS reserve0,
+           round(r1 / 1e18, 6) AS reserve1,
+           round((r1 / 1e18) / (r0 / 1000000.0), 6) AS price0
+    FROM pairs
+    """,
+)
+def q37(spark, sf):
+    """J6/J7: DEX trade assembly — Sync+Swap logs fabricated from orders,
+    parsed via the event inventory, assembled with as-of reserves; the
+    oracle recomputes amounts/reserves/prices arithmetically in SQL."""
+    from ethereum_etl_spark.operators.dex import (
+        POOL_DDL,
+        TOKEN_DIM_DDL,
+        UNISWAP_V2_ABIS,
+        extract_dex_trades,
+    )
+    from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
+
+    SWAP, SYNC = UNISWAP_V2_ABIS[0], UNISWAP_V2_ABIS[1]
+    o = ld(spark, sf, "orders").filter("o_orderkey <= 4096")
+    pool = F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(F.col("o_orderkey") % 50)), 40, "0"))
+    wallet_w = F.lpad(F.lit("ab" * 20), 64, "0")
+
+    def w64(c):
+        return F.lpad(F.lower(F.hex(c.cast("long"))), 64, "0")
+
+    base = o.select(
+        F.col("o_orderkey").alias("block_number"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("transaction_hash"),
+        pool.alias("address"),
+        F.col("o_custkey"),
+        F.col("o_totalprice"),
+    )
+    sync_logs = base.select(
+        F.lit(0).alias("log_index"), "transaction_hash",
+        F.lit(0).alias("transaction_index"), F.lit("0xb").alias("block_hash"),
+        "block_number", "address",
+        F.concat(
+            F.lit("0x"),
+            w64(F.lit(1000) + F.col("block_number") % 97),
+            w64(F.lit(5000) + F.col("block_number") % 89),
+        ).alias("data"),
+        F.array(F.lit(SYNC.topic0)).alias("topics"),
+    )
+    swap_logs = base.select(
+        F.lit(1).alias("log_index"), "transaction_hash",
+        F.lit(0).alias("transaction_index"), F.lit("0xb").alias("block_hash"),
+        "block_number", "address",
+        F.concat(
+            F.lit("0x"), w64(F.col("o_custkey")), w64(F.lit(0)),
+            w64(F.lit(0)), w64(F.col("o_totalprice").cast("long")),
+        ).alias("data"),
+        F.array(
+            F.lit(SWAP.topic0), F.concat(F.lit("0x"), wallet_w), F.concat(F.lit("0x"), wallet_w)
+        ).alias("topics"),
+    )
+    logs = sync_logs.unionByName(swap_logs)
+    inv = build_inventory(spark, UNISWAP_V2_ABIS)
+    parsed = parse_logs(logs, inv, UNISWAP_V2_ABIS)
+    pools = spark.createDataFrame(
+        [
+            (f"0x{i % 50:040x}", "0xfac", ["0x" + "2" * 40, "0x" + "3" * 40], 3000, [])
+            for i in range(50)
+        ],
+        POOL_DDL,
+    )
+    tokens = spark.createDataFrame(
+        [("0x" + "2" * 40, "AAA", 6), ("0x" + "3" * 40, "BBB", 18)], TOKEN_DIM_DDL
+    )
+    t = extract_dex_trades(parsed, pools, tokens)
+    return t.select(
+        "pool_address",
+        "transaction_hash",
+        "block_number",
+        "event_type",
+        F.round(F.element_at("token_amounts", 1), 6).alias("amount0"),
+        F.round(F.element_at("token_amounts", 2), 6).alias("amount1"),
+        F.round(F.element_at("token_reserves", 1), 6).alias("reserve0"),
+        F.round(F.element_at("token_reserves", 2), 6).alias("reserve1"),
+        F.round(F.element_at("token_prices", 1), 6).alias("price0"),
+    )
+
+
 @_q("q33_repo_file_latest", None)
 def q33(spark, sf):
     """north_rule CDC query: latest file content per (repo, path) from the

@@ -1,0 +1,96 @@
+from __future__ import annotations
+
+from ethereum_etl_spark.operators.parsed_logs import (
+    EventAbi,
+    build_inventory,
+    merge_inventory,
+    parse_logs,
+)
+from ethereum_etl_spark.schemas import LOG_SCHEMA
+
+SWAP = EventAbi(
+    name="Swap",
+    inputs=[
+        {"name": "sender", "type": "address", "indexed": True},
+        {"name": "amount0In", "type": "uint256", "indexed": False},
+        {"name": "amount1In", "type": "uint256", "indexed": False},
+        {"name": "amount0Out", "type": "uint256", "indexed": False},
+        {"name": "amount1Out", "type": "uint256", "indexed": False},
+        {"name": "to", "type": "address", "indexed": True},
+    ],
+    namespace="uniswap_v2",
+    contract_name="pair",
+)
+SYNC = EventAbi(
+    name="Sync",
+    inputs=[
+        {"name": "reserve0", "type": "uint112", "indexed": False},
+        {"name": "reserve1", "type": "uint112", "indexed": False},
+    ],
+    namespace="uniswap_v2",
+    contract_name="pair",
+)
+
+A = "a" * 40
+B = "b" * 40
+
+
+def _w(v: int) -> str:
+    return hex(v)[2:].rjust(64, "0")
+
+
+def _waddr(a: str) -> str:
+    return "0x" + "0" * 24 + a
+
+
+def test_known_uniswap_topic():
+    # canonical UniswapV2 Swap topic — proves signature/keccak parity
+    assert SWAP.topic0 == "0xd78ad95fa46c994b6551d0da85fc275fe613ce37657fb8d5e3d130840159d822"
+    assert SWAP.topic_count == 3
+    assert SYNC.topic_count == 1
+
+
+def test_parse_swap_and_sync(spark):
+    inv = build_inventory(spark, [SWAP, SYNC])
+    logs = spark.createDataFrame(
+        [
+            (1, "0xt1", 0, "0xb", 10, "0x" + "c" * 40,
+             "0x" + _w(100) + _w(0) + _w(0) + _w(250),
+             [SWAP.topic0, _waddr(A), _waddr(B)]),
+            (2, "0xt1", 0, "0xb", 10, "0x" + "c" * 40,
+             "0x" + _w(11) + _w(22),
+             [SYNC.topic0]),
+            (3, "0xt1", 0, "0xb", 10, "0x" + "c" * 40, "0x", ["0x" + "9" * 64]),
+        ],
+        LOG_SCHEMA,
+    )
+    out = {r["log_index"]: r for r in parse_logs(logs, inv, [SWAP, SYNC]).collect()}
+    assert set(out) == {1, 2}  # unknown topic dropped
+    swap = out[1]
+    assert swap["event_name"] == "Swap"
+    assert swap["namespace"] == ["uniswap_v2"]
+    pe = swap["parsed_event"]
+    assert pe["sender"] == "0x" + A
+    assert pe["to"] == "0x" + B
+    assert pe["amount0In"] == "100"
+    assert pe["amount1Out"] == "250"
+    sync = out[2]
+    assert sync["parsed_event"] == {"reserve0": "11", "reserve1": "22"}
+
+    # event filter (parse_log filter_for_events parity)
+    only = parse_logs(logs, inv, [SWAP, SYNC], filter_for_events=["Sync"])
+    assert [r["event_name"] for r in only.collect()] == ["Sync"]
+
+
+def test_inventory_merge_array_union(spark):
+    inv = build_inventory(spark, [SWAP])
+    src = build_inventory(
+        spark,
+        [EventAbi(name="Swap", inputs=SWAP.inputs, namespace="sushiswap", contract_name="pair")]
+        + [SYNC],
+    )
+    merged = merge_inventory(inv, src)
+    rows = {r["event_name"]: r for r in merged.collect()}
+    assert rows["Swap"]["namespace"] == ["sushiswap", "uniswap_v2"]  # sorted distinct union
+    assert rows["Sync"]["namespace"] == ["uniswap_v2"]
+    assert merged.count() == 2
