@@ -246,11 +246,33 @@ def _geth_trace_df(spec: "ChainWalSpec", txs: DataFrame):
     )
 
 
+def _token_df(spark: SparkSession, spec: "ChainWalSpec"):
+    """Token metadata dimension events (S9 analog: the eth_call
+    symbol/name/decimals fetch becomes a dimension stream; ~10% rows with
+    missing metadata per docs/limitations.md:6-8)."""
+    r = spark.range(0, 38).withColumnRenamed("id", "k")
+    k = F.col("k")
+    addr = F.when(k == 37, F.lit(HOT_TOKEN)).otherwise(_addr("token", k % 37))
+    missing = k % 10 == 3
+    return r.select(
+        addr.alias("address"),
+        F.when(missing, F.lit(None)).otherwise(F.concat(F.lit("TK"), k.cast("string"))).alias("symbol"),
+        F.when(missing, F.lit(None)).otherwise(F.concat(F.lit("Token "), k.cast("string"))).alias("name"),
+        (F.lit(6) + k % 13).cast("int").alias("decimals"),
+        (k * 1_000_000 + 10**9).cast("string").alias("total_supply"),
+        k.alias("block_number"),
+        _h("blk", F.lit(spec.seed), k).alias("block_hash"),
+    )
+
+
 def _envelope(df: DataFrame, entity_type: str, op: str, seq_shift: int) -> DataFrame:
     """Wrap typed rows into the WAL envelope with a deterministic seq."""
     bn = F.col("block_number") if "block_number" in df.columns else F.col("number")
     bh = F.col("block_hash") if "block_hash" in df.columns else F.col("hash")
-    intra = {"block": 0, "transaction": 1, "receipt": 2, "log": 3, "geth_trace": 4}[entity_type]
+    intra = {
+        "block": 0, "transaction": 1, "receipt": 2, "log": 3,
+        "geth_trace": 4, "token": 5,
+    }[entity_type]
     return df.select(
         (bn * 10 + intra + seq_shift).alias("seq"),
         bn.alias("block_number"),
@@ -269,12 +291,14 @@ def generate_chain_wal(spark: SparkSession, spec: ChainWalSpec) -> DataFrame:
     receipts = _receipt_df(spec, txs)
     logs = _log_df(spec, txs)
     geth = _geth_trace_df(spec, txs)
+    tokens = _token_df(spark, spec)
     parts = [
         _envelope(blocks, "block", "upsert", 0),
         _envelope(txs, "transaction", "upsert", 0),
         _envelope(receipts, "receipt", "upsert", 0),
         _envelope(logs, "log", "upsert", 0),
         _envelope(geth, "geth_trace", "upsert", 0),
+        _envelope(tokens, "token", "upsert", 0),
     ]
     if spec.reorg_blocks:
         rb = spark.createDataFrame([(b,) for b in spec.reorg_blocks], ["number"])

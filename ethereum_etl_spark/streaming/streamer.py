@@ -46,7 +46,7 @@ from ethereum_etl_spark.sources.wal import WalTailer
 DEFAULT_ENTITIES = (
     "block", "transaction", "receipt", "log", "token_transfer",
     "geth_trace", "trace", "internal_transfer", "contract",
-    "token_balance", "native_balance", "candle",
+    "token", "token_balance", "native_balance", "candle",
 )
 
 CANDLE_SCHEMA_DDL = (
@@ -157,6 +157,8 @@ class ChainStreamer:
                 ENTITY_KEYS["internal_transfer"])
         if "contract" in want:
             tbl("contracts", ENTITY_SCHEMAS["contract"], ENTITY_KEYS["contract"])
+        if "token" in want:
+            tbl("tokens", ENTITY_SCHEMAS["token"], ENTITY_KEYS["token"])
         if "token_balance" in want:
             tbl("token_balances", ENTITY_SCHEMAS["token_balance"], ENTITY_KEYS["token_balance"])
             # compact latest-state projection: single partition, LWW by block
@@ -257,6 +259,8 @@ class ChainStreamer:
             add("internal_transfers", stamp(itr, "internal_transfer"))
         if "contract" in want:
             add("contracts", stamp(extract_contracts(frames=flat_frames), "contract"))
+        if "token" in want:
+            add("tokens", stamp(get("token"), "token"))
         if "token_balance" in want and token_transfers is not None:
             carry = self.tables["token_balances_latest"].read()
             tb = token_balances_from_transfers(token_transfers, carry_in=carry)
@@ -340,8 +344,10 @@ class ChainStreamer:
             add("candles_1h", None, df_fn=_candles, full_touch=True)
         return out
 
-    def sync_cycle(self, tailer: WalTailer, watermark: int) -> int | None:
-        target = tailer.compute_target(watermark)
+    def sync_cycle(
+        self, tailer: WalTailer, watermark: int, allow_skip: bool = False
+    ) -> int | None:
+        target = tailer.compute_target(watermark, allow_skip=allow_skip)
         if target is None:
             return None
         t0 = time.time()
@@ -376,6 +382,7 @@ class ChainStreamer:
         stats = batch.agg(
             F.min("block_number").alias("lo"),
             F.max("block_number").alias("hi"),
+            F.count(F.lit(1)).alias("n_events"),
             F.sum(F.when(F.col("op") == "reorg", 1).otherwise(0)).alias("n_reorg"),
         ).first()
         if stats["lo"] is None:  # empty range
@@ -487,6 +494,7 @@ class ChainStreamer:
             "reorg": bool(has_reorg),
             "lo_block": lo_bn,
             "hi_block": hi_bn,
+            "n_events": int(stats["n_events"]),
         }
 
     # ---------- dead-letter channel ----------
@@ -530,6 +538,53 @@ class ChainStreamer:
         if errs.limit(1).count() > 0:
             self.tables["errors"].append(errs, batch_id=f"err-{batch_id}")
 
+    # ---------- warehouse-first reads (EP2, S11/A11) ----------
+
+    def export_from_warehouse(
+        self, entity: str, lo_block: int, hi_block: int, wal: DataFrame | None = None
+    ):
+        """Storage-first range read with completeness predicates — the
+        cache-aside layer of ClickhouseEthStreamerAdapter.export_all
+        (clickhouse_eth_streamer_adapter.py:190-462): serve the range from
+        the warehouse when the counts prove it complete (:159-167,194-246),
+        else fall back to decoding the WAL (the 'node').
+
+        Returns (DataFrame, source) where source ∈ {'warehouse', 'wal'}.
+        """
+        name = {"block": "blocks", "transaction": "transactions", "log": "logs"}.get(
+            entity, entity + "s"
+        )
+        t = self.tables[name]
+        df = t.read(prune_min=lo_block, prune_max=hi_block)
+        want_blocks = hi_block - lo_block + 1
+
+        complete = False
+        if entity == "block":
+            complete = df.count() == want_blocks
+        elif entity == "transaction":
+            blocks = self.tables["blocks"].read(prune_min=lo_block, prune_max=hi_block)
+            agg = blocks.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("transaction_count").alias("want_tx")
+            ).first()
+            complete = agg["n"] == want_blocks and df.count() == (agg["want_tx"] or 0)
+        elif entity == "log":
+            txs = self.tables["transactions"].read(prune_min=lo_block, prune_max=hi_block)
+            want_logs = txs.agg(F.sum("receipt_logs_count")).first()[0] or 0
+            complete = df.count() == want_logs
+        else:
+            complete = df.count() > 0
+
+        if complete:
+            return df, "warehouse"
+        if wal is None:
+            raise LookupError(
+                f"{name} incomplete for blocks [{lo_block}, {hi_block}] and no WAL fallback"
+            )
+        fallback = decode_entity(
+            wal.filter(F.col("block_number").between(lo_block, hi_block)), entity
+        )
+        return fallback, "wal"
+
     # ---------- reorg verifier (clickhouse_eth_streamer_adapter.py:789-943) ----------
 
     def detect_reorged_blocks(self, canonical_blocks: DataFrame) -> list[int]:
@@ -558,12 +613,20 @@ class ChainStreamer:
         self._apply_batch(sub, batch_id, force_delete_blocks=block_numbers)
         self.lineage.record(batch_id=batch_id, repaired_blocks=block_numbers)
 
-    def run(self, tailer: WalTailer, start: int = 0, max_cycles: int | None = None) -> int:
-        """Replay until caught up. Returns final watermark."""
+    def run(
+        self,
+        tailer: WalTailer,
+        start: int = 0,
+        max_cycles: int | None = None,
+        allow_catchup_skip: bool = False,
+    ) -> int:
+        """Replay until caught up. Returns final watermark.
+        ``allow_catchup_skip``: when far behind, jump the watermark to head
+        (streamer.py:136-149 catch-up guard)."""
         wm = self.watermarks.init_resume(start)
         cycles = 0
         while True:
-            nxt = self.sync_cycle(tailer, wm)
+            nxt = self.sync_cycle(tailer, wm, allow_skip=allow_catchup_skip)
             if nxt is None:
                 return wm
             wm = nxt
