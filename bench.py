@@ -133,7 +133,7 @@ def main():
     times = run_queries(spark, sf_dir)
     replay = run_replay(
         spark,
-        wal_path=f"/tmp/bench_wal_b{BENCH_BLOCKS}",
+        wal_path=f"/tmp/bench_wal_v2_b{BENCH_BLOCKS}",
         warehouse=f"/tmp/bench_wh_{cpus}",
     )
     times["cdc_merge_replay"] = replay["replay_sec"]

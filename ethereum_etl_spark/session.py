@@ -54,6 +54,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode shuffle spill dir: tmpfs when available — one shared
+        # spinning /tmp is a fixed-bandwidth serial resource that flattens
+        # core scaling (on a real cluster this is per-executor NVMe)
+        .config("spark.local.dir", _local_dirs())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )
@@ -62,6 +66,18 @@ def get_spark(
     spark = b.getOrCreate()
     _ship_package(spark)
     return spark
+
+
+def _local_dirs() -> str:
+    env = os.environ.get("SPARK_LOCAL_DIRS")
+    if env:
+        return env
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        return shm
+    except OSError:
+        return "/tmp"
 
 
 def _ship_package(spark: SparkSession) -> None:

@@ -67,6 +67,10 @@ class ChainWalSpec:
     # protocol fields (withdrawals_root, blob_gas_used); earlier payloads
     # omit them entirely (to_json drops nulls) — SURVEY §1.3
     evolve_at_block: int | None = None
+    # fork rows for block B enter the WAL at seq position of block
+    # B + reorg_lag — a reorg is detected a confirmation depth later and
+    # lands INSIDE ongoing traffic, not as a degenerate tail batch
+    reorg_lag: int = 50
 
 
 def _blocks_df(spark: SparkSession, spec: ChainWalSpec, fork_of: DataFrame | None = None):
@@ -265,16 +269,21 @@ def _token_df(spark: SparkSession, spec: "ChainWalSpec"):
     )
 
 
-def _envelope(df: DataFrame, entity_type: str, op: str, seq_shift: int) -> DataFrame:
-    """Wrap typed rows into the WAL envelope with a deterministic seq."""
+def _envelope(
+    df: DataFrame, entity_type: str, op: str, seq_block_shift: int = 0
+) -> DataFrame:
+    """Wrap typed rows into the WAL envelope with a deterministic seq:
+    seq = (block + shift)*16 + intra (normal rows intra 0-5, fork
+    re-emissions 8-13 — a fork of block B appears at B+reorg_lag's seq
+    position, i.e. after ``reorg_lag`` more blocks of normal traffic)."""
     bn = F.col("block_number") if "block_number" in df.columns else F.col("number")
     bh = F.col("block_hash") if "block_hash" in df.columns else F.col("hash")
     intra = {
         "block": 0, "transaction": 1, "receipt": 2, "log": 3,
         "geth_trace": 4, "token": 5,
-    }[entity_type]
+    }[entity_type] + (8 if op == "reorg" else 0)
     return df.select(
-        (bn * 10 + intra + seq_shift).alias("seq"),
+        ((bn + seq_block_shift) * 16 + intra).alias("seq"),
         bn.alias("block_number"),
         bh.alias("block_hash"),
         F.lit(entity_type).alias("entity_type"),
@@ -307,14 +316,13 @@ def generate_chain_wal(spark: SparkSession, spec: ChainWalSpec) -> DataFrame:
         fork_receipts = _receipt_df(spec, fork_txs)
         fork_logs = _log_df(spec, fork_txs)
         fork_geth = _geth_trace_df(spec, fork_txs)
-        # reorg rows arrive after the whole original chain
-        shift = (spec.end_block + 10) * 10
+        # reorg rows enter the stream a confirmation depth later
         parts += [
-            _envelope(fork_blocks, "block", "reorg", shift),
-            _envelope(fork_txs, "transaction", "reorg", shift),
-            _envelope(fork_receipts, "receipt", "reorg", shift),
-            _envelope(fork_logs, "log", "reorg", shift),
-            _envelope(fork_geth, "geth_trace", "reorg", shift),
+            _envelope(fork_blocks, "block", "reorg", spec.reorg_lag),
+            _envelope(fork_txs, "transaction", "reorg", spec.reorg_lag),
+            _envelope(fork_receipts, "receipt", "reorg", spec.reorg_lag),
+            _envelope(fork_logs, "log", "reorg", spec.reorg_lag),
+            _envelope(fork_geth, "geth_trace", "reorg", spec.reorg_lag),
         ]
     out = parts[0]
     for p in parts[1:]:
@@ -372,12 +380,19 @@ class WalTailer:
     compute_target mirrors Streamer._calculate_target_block
     (/root/reference/blockchainetl/streaming/streamer.py:136-157): target =
     min(head - lag, watermark + batch); catch-up skip when behind by more
-    than 1.5x batch."""
+    than 1.5x batch.
 
-    def __init__(self, wal_df: DataFrame, batch_size: int = 10, lag: int = 0):
+    ``align``: seq units per block (the envelope's seq = block*16 + intra).
+    Non-final targets are rounded DOWN to a block boundary so a batch never
+    splits a block's entities (a transaction landing in batch k with its
+    receipt in batch k+1 would break the 1:1 enrich — the reference always
+    consumes whole blocks, block_batch_size is in blocks)."""
+
+    def __init__(self, wal_df: DataFrame, batch_size: int = 10, lag: int = 0, align: int = 16):
         self.wal = wal_df
         self.batch_size = batch_size
         self.lag = lag
+        self.align = align
         self._head = None
 
     def head(self) -> int:
@@ -391,7 +406,16 @@ class WalTailer:
             return None
         if allow_skip and head - watermark > 1.5 * self.batch_size:
             return head  # catch-up: jump to head (streamer.py:136-149)
-        return min(head, watermark + self.batch_size)
+        target = min(head, watermark + self.batch_size)
+        if target < head and self.align > 1:
+            # ranges are (lo, hi]: a whole-block target ends at align*k - 1
+            aligned = ((target + 1) // self.align) * self.align - 1
+            if aligned <= watermark:  # batch smaller than one block: advance
+                aligned = min(
+                    head, ((watermark + 1) // self.align + 1) * self.align - 1
+                )
+            target = aligned
+        return target
 
     def read_range(self, lo_exclusive: int, hi_inclusive: int) -> DataFrame:
         # predicate pushes into the parquet scan (seq range → row-group skip)

@@ -47,7 +47,7 @@ def main():
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     blocks = os.environ.get("BENCH_BLOCKS", "4000")
-    wal = f"/tmp/bench_wal_b{blocks}"
+    wal = f"/tmp/bench_wal_v2_b{blocks}"
 
     r_n = run_at(n, repo, wal)
     r_4n = run_at(n * mult, repo, wal)
