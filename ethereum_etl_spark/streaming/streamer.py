@@ -66,6 +66,11 @@ class StreamerConfig:
     strict_counts: bool = False
     parallel_merges: bool = True
     collect_errors: bool = False  # dead-letter malformed payloads → errors table
+    # §1.4 query-pattern projections (logs_address / transactions_address
+    # MVs, schema.sql:1099-1533): same rows re-keyed for point lookups by
+    # address. Off by default — they double the write volume of their base
+    # entity, exactly like the reference's MV fan-out.
+    projections: bool = False
     # additive schema evolution: entity → extra StructFields appearing in
     # late payloads (SURVEY §1.3; LakeTable widens the table on first sight)
     extra_entity_fields: dict = field(default_factory=dict)
@@ -169,6 +174,14 @@ class ChainStreamer:
             tbl("native_balances", ENTITY_SCHEMAS["native_balance"], ENTITY_KEYS["native_balance"])
             tbl("native_balances_latest", ENTITY_SCHEMAS["native_balance"], ["address"],
                 psize=10**15, stamped=False)
+        if self.cfg.projections:
+            if "log" in want:
+                # re-keyed copy: lookups by emitting contract address
+                tbl("logs_by_address", ENTITY_SCHEMAS["log"],
+                    ["address", "block_number", "transaction_hash", "log_index"])
+            if "transaction" in want:
+                tbl("transactions_by_address", _enriched_tx_schema(),
+                    ["from_address", "block_number", "hash"])
         if "candle" in want and "token_transfer" in want:
             tbl(
                 "candles_1h",
@@ -261,9 +274,16 @@ class ChainStreamer:
             add("contracts", stamp(extract_contracts(frames=flat_frames), "contract"))
         if "token" in want:
             add("tokens", stamp(get("token"), "token"))
+        if self.cfg.projections:
+            if "logs" in out:
+                add("logs_by_address", out["logs"]["df"])
+            if "transactions" in out:
+                add("transactions_by_address", out["transactions"]["df"])
         if "token_balance" in want and token_transfers is not None:
             carry = self.tables["token_balances_latest"].read()
-            tb = token_balances_from_transfers(token_transfers, carry_in=carry)
+            tb = token_balances_from_transfers(token_transfers, carry_in=carry).cache()
+            if aux_cache is not None:
+                aux_cache.append(tb)  # consumed by BOTH history and latest merges
             add("token_balances", stamp(tb, "token_balance"))
             from ethereum_etl_spark.operators.balances import latest_token_balances
 
@@ -276,7 +296,9 @@ class ChainStreamer:
             )
         if "native_balance" in want:
             carry = self.tables["native_balances_latest"].read()
-            nb = native_balances_from_transactions(get("transaction"), carry_in=carry)
+            nb = native_balances_from_transactions(get("transaction"), carry_in=carry).cache()
+            if aux_cache is not None:
+                aux_cache.append(nb)
             add("native_balances", stamp(nb, "native_balance"))
             from pyspark.sql import functions as SF
 
@@ -426,6 +448,9 @@ class ChainStreamer:
         derived = self._derive(get, aux_cache)
 
         def _merge_one(name: str, spec: dict) -> None:
+            # one FAIR-scheduler pool per entity merge: jobs share executor
+            # slots round-robin instead of FIFO-queueing behind each other
+            self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"merge-{name}")
             t = self.tables[name]
             if spec.get("df_fn") is not None:
                 df, overrides = spec["df_fn"]()
@@ -465,23 +490,44 @@ class ChainStreamer:
         # per-entity MERGEs are independent (separate tables) → submit
         # concurrently; the Spark scheduler interleaves their stages (the
         # reference's thread-pool job parallelism, batch_work_executor.py,
-        # done the Spark way). full_touch (latest-state) tables run in a
-        # SECOND phase: they are read as carry-in by phase-1 plans, and their
-        # rewrite garbage-collects the very files those plans scan.
-        def _run(group: dict) -> None:
-            if self.cfg.parallel_merges and len(group) > 1:
-                from concurrent.futures import ThreadPoolExecutor
+        # done the Spark way). Derived full_touch tables don't wait for ALL
+        # of phase 1 — only for their specific upstream commit (candles need
+        # the committed transfers table; latest-balance projections need the
+        # cached balance plan materialized by their history merge, which also
+        # guards the carry-file GC race).
+        DEPS = {
+            "candles_1h": "token_transfers",
+            "token_balances_latest": "token_balances",
+            "native_balances_latest": "native_balances",
+        }
+        if self.cfg.parallel_merges and len(derived) > 1:
+            from concurrent.futures import ThreadPoolExecutor
 
-                with ThreadPoolExecutor(max_workers=len(group)) as ex:
-                    futures = {ex.submit(_merge_one, n, d): n for n, d in group.items()}
-                    for f in futures:
-                        f.result()  # propagate failures
-            else:
-                for name, spec in group.items():
-                    _merge_one(name, spec)
+            with ThreadPoolExecutor(max_workers=len(derived)) as ex:
+                futures: dict[str, object] = {}
 
-        _run({n: s for n, s in derived.items() if not s.get("full_touch")})
-        _run({n: s for n, s in derived.items() if s.get("full_touch")})
+                def _submit(name, spec):
+                    dep = DEPS.get(name)
+
+                    def task():
+                        if dep is not None and dep in futures:
+                            futures[dep].result()  # wait for upstream commit
+                        _merge_one(name, spec)
+
+                    futures[name] = ex.submit(task)
+
+                for n, d in derived.items():
+                    if n not in DEPS:
+                        _submit(n, d)
+                for n, d in derived.items():
+                    if n in DEPS:
+                        _submit(n, d)
+                for f in futures.values():
+                    f.result()  # propagate failures
+        else:
+            ordered = [n for n in derived if n not in DEPS] + [n for n in derived if n in DEPS]
+            for name in ordered:
+                _merge_one(name, derived[name])
 
         if self.cfg.collect_errors:
             self._append_decode_errors(batch, batch_id)

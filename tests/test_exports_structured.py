@@ -86,3 +86,21 @@ def test_csv_export_block_range_layout(spark, tmp_path):
     back = spark.read.option("header", "true").csv(out + "/start_block=00000000/end_block=00000009")
     assert back.count() == 20  # 10 blocks x 2 logs
     assert "topics" in back.columns  # array stringified
+
+
+def test_projection_tables(spark, tmp_path):
+    """§1.4 MVs: logs/tx re-keyed by address, same row sets."""
+    p = _wal_dir(spark, tmp_path)
+    cfg = StreamerConfig(warehouse=str(tmp_path / "wh"), batch_size=10_000,
+                         partition_size=10, entity_types=ENTITIES, projections=True)
+    s = ChainStreamer(spark, cfg)
+    s.run(WalTailer(spark.read.parquet(p), batch_size=10_000))
+    logs = s.tables["logs"].read()
+    proj = s.tables["logs_by_address"].read()
+    assert proj.count() == logs.count()
+    # point lookup by address hits ~1 file in the projection layout
+    one = logs.first()["address"]
+    assert proj.filter(F.col("address") == one).count() == logs.filter(
+        F.col("address") == one
+    ).count()
+    assert s.tables["transactions_by_address"].read().count() == 40
