@@ -25,14 +25,18 @@ from pyspark.sql.types import ArrayType, StringType
 
 from ethereum_etl_spark.functions.keccak import function_selector
 
-# basic-block terminators: STOP JUMP JUMPI RETURN REVERT INVALID SELFDESTRUCT
-_TERMINATORS = {0x00, 0x56, 0x57, 0xF3, 0xFD, 0xFE, 0xFF}
 _JUMPDEST = 0x5B
 _PUSH1, _PUSH32, _PUSH4 = 0x60, 0x7F, 0x63
 
 
 def get_function_sighashes(bytecode: str | None) -> list[str]:
-    """PUSH4 operands of basic block 0, sorted unique '0x…' strings."""
+    """PUSH4 operands of basic block 0, sorted unique '0x…' strings.
+
+    Block-0 boundary matches ethereum_dasm's golden behavior (verified
+    against the CryptoKitties fixture): the first block runs until the FIRST
+    JUMPDEST — JUMP/JUMPI inside the Solidity dispatcher do NOT end it (the
+    dispatcher is a chain of PUSH4/EQ/PUSH2/JUMPI before any JUMPDEST).
+    """
     if bytecode is None or bytecode == "0x":
         return []
     h = bytecode[2:] if bytecode.startswith("0x") else bytecode
@@ -49,14 +53,10 @@ def get_function_sighashes(bytecode: str | None) -> list[str]:
             break  # next basic block starts
         if _PUSH1 <= op <= _PUSH32:
             width = op - _PUSH1 + 1
-            if op == _PUSH4 and i + 4 < n + 1:
-                operand = code[i + 1 : i + 5]
-                if len(operand) == 4:
-                    sighashes.add("0x" + operand.hex())
+            if op == _PUSH4 and i + 5 <= n:
+                sighashes.add("0x" + code[i + 1 : i + 5].hex())
             i += 1 + width
             continue
-        if op in _TERMINATORS:
-            break
         i += 1
     return sorted(sighashes)
 

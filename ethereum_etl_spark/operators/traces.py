@@ -179,6 +179,47 @@ def assign_block_scoped_trace_ids(traces: DataFrame) -> DataFrame:
     )
 
 
+def calculate_trace_statuses(traces: DataFrame) -> DataFrame:
+    """P10 for pre-flattened (parity) traces: status=0 on error, and a failed
+    parent forces descendants to 0 via trace_address prefixes — applyInPandas
+    per transaction group (bounded; the SURVEY §2.11 mapping of
+    trace_status_calculator.py:26-63)."""
+    import pandas as pd
+
+    base = traces.withColumn(
+        "status",
+        F.when(
+            F.col("error").isNotNull() & (F.length("error") > 0), 0
+        ).otherwise(1).cast("int"),
+    )
+    schema = base.schema
+
+    def propagate(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) <= 1:
+            return pdf
+        pdf = pdf.copy()
+        order = pdf["trace_address"].map(lambda ta: len(ta or []))
+        pdf = pdf.iloc[order.argsort(kind="stable")]
+        status_by_path: dict[tuple, int] = {}
+        out = []
+        for _, row in pdf.iterrows():
+            ta = tuple(row["trace_address"] or [])
+            st = int(row["status"])
+            if ta and status_by_path.get(ta[:-1], 1) == 0:
+                st = 0
+            status_by_path[ta] = st
+            row["status"] = st
+            out.append(row)
+        return pd.DataFrame(out)
+
+    with_tx = base.filter(F.col("transaction_hash").isNotNull())
+    without_tx = base.filter(F.col("transaction_hash").isNull())
+    propagated = with_tx.groupBy("block_number", "transaction_hash").applyInPandas(
+        propagate, schema
+    )
+    return propagated.unionByName(without_tx)
+
+
 def extract_internal_transfers(geth_traces: DataFrame) -> DataFrame:
     """P6: value-bearing frames → internal transfers with the reference's
     exact depth-string id scheme (internal_transfer_mapper.py:17-42,

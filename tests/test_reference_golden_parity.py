@@ -1,0 +1,281 @@
+"""Per-row sha256 parity against the REFERENCE'S OWN golden fixtures
+(north_star correctness gate): the reference's pytest inputs are fed through
+OUR operators and each output row's canonical sha256 must equal the golden
+row's. Fixtures (read-only) under /root/reference/tests/resources/.
+
+Covered here:
+- extract_token_transfers: logs.csv → expected_token_transfers.csv
+  (tests/ethereumetl/job/test_extract_token_transfers_job.py analog)
+- extract_internal_transfers: parsed_geth_trace.json →
+  expected_internal_transfers.json (test_extract_internal_transfers_job)
+- contract sighashes/flags: CryptoKitties bytecode →
+  expected_contracts.json (test_export_contracts_job — exercises the
+  from-scratch EVM disassembler against ethereum_dasm's golden output)
+"""
+
+from __future__ import annotations
+
+import csv
+import hashlib
+import json
+
+import pytest
+
+from ethereum_etl_spark.operators.contracts import (
+    get_function_sighashes,
+    with_token_flags,
+)
+from ethereum_etl_spark.operators.traces import extract_internal_transfers
+from ethereum_etl_spark.operators.transfers import extract_token_transfers
+from ethereum_etl_spark.schemas import GETH_TRACE_SCHEMA, LOG_SCHEMA
+
+RES = "/root/reference/tests/resources"
+
+
+def _row_sha(values: list) -> str:
+    canon = "|".join("" if v is None else str(v) for v in values)
+    return hashlib.sha256(canon.encode()).hexdigest()
+
+
+def test_token_transfers_golden(spark):
+    with open(f"{RES}/test_extract_token_transfers_job/logs/logs.csv") as f:
+        raw = list(csv.DictReader(f))
+    rows = [
+        (
+            int(r["log_index"]),
+            r["transaction_hash"],
+            int(r["transaction_index"]),
+            r["block_hash"],
+            int(r["block_number"]),
+            r["address"],
+            r["data"],
+            r["topics"].split(",") if r["topics"] else [],
+        )
+        for r in raw
+    ]
+    logs = spark.createDataFrame(rows, LOG_SCHEMA)
+    out = extract_token_transfers(logs).collect()
+
+    def canon_ours(r):
+        return _row_sha([
+            r["token_address"], r["from_address"], r["to_address"],
+            None if r["value"] is None else int(r["value"]),
+            r["transaction_hash"], r["log_index"], r["block_number"],
+            None if r["token_id"] is None else int(r["token_id"]),
+            r["operator_address"],
+        ])
+
+    with open(f"{RES}/test_extract_token_transfers_job/logs/expected_token_transfers.csv") as f:
+        exp = list(csv.DictReader(f))
+
+    def canon_exp(r):
+        return _row_sha([
+            r["token_address"], r["from_address"], r["to_address"],
+            int(r["value"]) if r["value"] else None,
+            r["transaction_hash"], int(r["log_index"]), int(r["block_number"]),
+            int(r["token_id"]) if r["token_id"] else None,
+            r["operator_address"] or None,
+        ])
+
+    ours = sorted(canon_ours(r) for r in out)
+    want = sorted(canon_exp(r) for r in exp)
+    assert len(ours) == len(want)
+    assert ours == want  # per-row sha256 equality
+
+
+@pytest.mark.parametrize(
+    "case", ["tx_with_internal_transfers", "tx_without_internal_transfers"]
+)
+def test_internal_transfers_golden(spark, case):
+    src = json.load(open(f"{RES}/test_extract_internal_transfers_job/{case}/parsed_geth_trace.json"))
+    gt = spark.createDataFrame(
+        [(src["transaction_hash"], src["block_number"], json.dumps(src["transaction_traces"]))],
+        GETH_TRACE_SCHEMA,
+    )
+    out = extract_internal_transfers(gt).collect()
+    exp_path = f"{RES}/test_extract_internal_transfers_job/{case}/expected_internal_transfers.json"
+    expected = [json.loads(line) for line in open(exp_path) if line.strip()]
+
+    def canon_ours(r):
+        return _row_sha([
+            r["from_address"], r["to_address"],
+            None if r["value"] is None else int(r["value"]),
+            r["transaction_hash"], r["id"], r["gas_limit"],
+        ])
+
+    def canon_exp(r):
+        return _row_sha([
+            r["from_address"], r["to_address"], r["value"],
+            r["transaction_hash"], r["id"], r["gas_limit"],
+        ])
+
+    assert sorted(canon_ours(r) for r in out) == sorted(canon_exp(r) for r in expected)
+
+
+def test_contract_sighashes_golden(spark):
+    """CryptoKitties runtime bytecode through the from-scratch disassembler
+    must reproduce ethereum_dasm's PUSH4 set and the ERC flags."""
+    exp = json.load(open(f"{RES}/test_export_contracts_job/erc721_contract/expected_contracts.json"))
+    got = get_function_sighashes(exp["bytecode"])
+    assert got == exp["function_sighashes"]
+
+    df = spark.createDataFrame([(exp["address"], got)], "address string, function_sighashes array<string>")
+    flags = with_token_flags(df).first()
+    assert flags["is_erc20"] == exp["is_erc20"]
+    assert flags["is_erc721"] == exp["is_erc721"]
+
+
+def _load_rpc_results(spark, pattern: str):
+    import glob
+
+    rows = []
+    for p in sorted(glob.glob(pattern)):
+        d = json.load(open(p))
+        rows.append((json.dumps(d.get("result", d)),))
+    return spark.createDataFrame(rows, "payload string")
+
+
+def _csv_rows(path):
+    with open(path) as f:
+        return list(csv.DictReader(f))
+
+
+def _i(v):
+    return int(v) if v not in (None, "") else None
+
+
+def test_export_blocks_golden(spark):
+    """export_blocks_job parity: eth_getBlockByNumber responses → blocks
+    rows sha256-equal to expected_blocks.csv."""
+    from ethereum_etl_spark.sources.rpc_decode import rpc_blocks
+
+    base = f"{RES}/test_export_blocks_job/blocks_with_transactions"
+    rpc = _load_rpc_results(spark, f"{base}/web3_response.eth_getBlockByNumber_*.json")
+    out = rpc_blocks(rpc).collect()
+    exp = _csv_rows(f"{base}/expected_blocks.csv")
+    cols = [
+        "number", "hash", "parent_hash", "nonce", "sha3_uncles", "logs_bloom",
+        "transactions_root", "state_root", "receipts_root", "miner",
+        "difficulty", "total_difficulty", "size", "extra_data", "gas_limit",
+        "gas_used", "timestamp", "transaction_count", "base_fee_per_gas",
+        "withdrawals_root", "blob_gas_used", "excess_blob_gas",
+    ]
+    ints = {"number", "difficulty", "total_difficulty", "size", "gas_limit",
+            "gas_used", "timestamp", "transaction_count", "base_fee_per_gas",
+            "blob_gas_used", "excess_blob_gas"}
+
+    def canon_ours(r):
+        return _row_sha([
+            (None if r[c] is None else int(r[c])) if c in ints else r[c] for c in cols
+        ])
+
+    def canon_exp(r):
+        return _row_sha([_i(r[c]) if c in ints else (r[c] or None) for c in cols])
+
+    assert sorted(canon_ours(r) for r in out) == sorted(canon_exp(r) for r in exp)
+
+
+def test_export_transactions_golden(spark):
+    from ethereum_etl_spark.sources.rpc_decode import rpc_transactions
+
+    base = f"{RES}/test_export_blocks_job/blocks_with_transactions"
+    rpc = _load_rpc_results(spark, f"{base}/web3_response.eth_getBlockByNumber_*.json")
+    out = rpc_transactions(rpc).collect()
+    exp = _csv_rows(f"{base}/expected_transactions.csv")
+    cols = ["hash", "nonce", "block_hash", "block_number", "transaction_index",
+            "from_address", "to_address", "value", "gas", "gas_price", "input",
+            "block_timestamp", "max_fee_per_gas", "max_priority_fee_per_gas",
+            "transaction_type", "max_fee_per_blob_gas"]
+    ints = {"nonce", "block_number", "transaction_index", "value", "gas",
+            "gas_price", "block_timestamp", "max_fee_per_gas",
+            "max_priority_fee_per_gas", "transaction_type", "max_fee_per_blob_gas"}
+
+    def canon_ours(r):
+        return _row_sha([
+            (None if r[c] is None else int(r[c])) if c in ints else r[c] for c in cols
+        ])
+
+    def canon_exp(r):
+        return _row_sha([_i(r[c]) if c in ints else (r[c] or None) for c in cols])
+
+    assert sorted(canon_ours(r) for r in out) == sorted(canon_exp(r) for r in exp)
+
+
+def test_export_receipts_golden(spark):
+    from ethereum_etl_spark.sources.rpc_decode import rpc_receipts
+
+    base = f"{RES}/test_export_receipts_job/receipts_with_logs"
+    rpc = _load_rpc_results(spark, f"{base}/web3_response.eth_getTransactionReceipt_*.json")
+    out = rpc_receipts(rpc).collect()
+    exp = _csv_rows(f"{base}/expected_receipts.csv")
+    cols = ["transaction_hash", "transaction_index", "block_hash", "block_number",
+            "cumulative_gas_used", "gas_used", "contract_address", "root",
+            "status", "effective_gas_price"]
+    ints = {"transaction_index", "block_number", "cumulative_gas_used",
+            "gas_used", "status", "effective_gas_price"}
+
+    def canon_ours(r):
+        return _row_sha([
+            (None if r[c] is None else int(r[c])) if c in ints else r[c] for c in cols
+        ])
+
+    def canon_exp(r):
+        return _row_sha([_i(r[c]) if c in ints else (r[c] or None) for c in cols])
+
+    assert sorted(canon_ours(r) for r in out) == sorted(canon_exp(r) for r in exp)
+
+
+@pytest.mark.parametrize(
+    "case",
+    ["block_with_create", "block_with_error", "block_with_subtraces",
+     "block_with_suicide", "block_without_transactions"],
+)
+def test_export_traces_golden(spark, case):
+    """export_traces_job parity: trace_block (parity) responses → trace rows
+    sha256-equal to expected_traces.csv, incl. status propagation and
+    block-scoped reward ids."""
+    from ethereum_etl_spark.operators.traces import (
+        assign_block_scoped_trace_ids,
+        calculate_trace_statuses,
+    )
+    from ethereum_etl_spark.sources.rpc_decode import rpc_parity_traces
+
+    base = f"{RES}/test_export_traces_job/{case}"
+    rpc = _load_rpc_results(spark, f"{base}/web3_response.trace_block_*.json")
+    traces = assign_block_scoped_trace_ids(
+        calculate_trace_statuses(rpc_parity_traces(rpc))
+    )
+    out = traces.collect()
+    exp = _csv_rows(f"{base}/expected_traces.csv")
+    ints = {"block_number", "transaction_index", "value", "gas", "gas_used",
+            "subtraces", "status"}
+    cols = ["block_number", "transaction_hash", "transaction_index",
+            "from_address", "to_address", "value", "input", "output",
+            "trace_type", "call_type", "reward_type", "gas", "gas_used",
+            "subtraces", "trace_address", "error", "status", "trace_id"]
+
+    def canon_ours(r):
+        vals = []
+        for c in cols:
+            v = r[c]
+            if c == "trace_address":
+                v = ",".join(str(x) for x in (v or []))
+            elif c in ints and v is not None:
+                v = int(v)
+            elif v == "":
+                v = None
+            vals.append(v)
+        return _row_sha(vals)
+
+    def canon_exp(r):
+        vals = []
+        for c in cols:
+            v = r[c]
+            if c in ints:
+                v = _i(v)
+            elif v == "":
+                v = None
+            vals.append(v)
+        return _row_sha(vals)
+
+    assert sorted(canon_ours(r) for r in out) == sorted(canon_exp(r) for r in exp)
