@@ -63,11 +63,26 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over word n-gram shingle sets, pairs (a<b)
     with similarity ≥ threshold. Self-join keyed on shingle: only docs
-    sharing ≥1 shingle ever meet — sparse, not a cross join."""
+    sharing ≥1 shingle ever meet — sparse, not a cross join.
+
+    ``max_shingle_df``: drop shingles appearing in more than this many docs
+    (stop-shingle removal) BEFORE pairing — boilerplate shingles contribute
+    sum(df^2) join rows for near-zero similarity signal; Jaccard is then
+    computed over the filtered shingle universe (mirrored in the oracle)."""
     s = _shingle_table(docs, text_col, id_col, n)
+    if max_shingle_df is not None:
+        freq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        s = (
+            s.join(freq.filter(F.col("__df") <= max_shingle_df), on="shingle")
+            .drop("__df")
+        )
+        # recount set sizes over the filtered universe
+        sizes = s.groupBy("id").agg(F.count(F.lit(1)).alias("__n_sh"))
+        s = s.drop("n_sh").join(sizes, on="id").withColumnRenamed("__n_sh", "n_sh")
     a = s.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
     b = s.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
     pairs = (
