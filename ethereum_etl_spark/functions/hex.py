@@ -44,8 +44,6 @@ def hex_to_long(c: Column) -> Column:
 @pandas_udf(DecimalType(38, 0))
 def _hex_to_dec38_udf(s: pd.Series) -> pd.Series:
     def parse(x):
-        if x is None:
-            return None
         try:
             v = int(x, 16) if isinstance(x, str) and x.startswith("0x") else int(x)
         except (ValueError, TypeError):
@@ -54,16 +52,35 @@ def _hex_to_dec38_udf(s: pd.Series) -> pd.Series:
         # diagnostics path of clickhouse_exporter.py:120-143
         return Decimal(v) if -_DEC38_MAX < v < _DEC38_MAX else None
 
-    return s.map(parse)
+    # na_action skips the Python call entirely for rows the JVM fast path in
+    # hex_to_dec38 already handled (they arrive as NULL)
+    return s.map(parse, na_action="ignore")
 
 
 def hex_to_dec38(c: Column) -> Column:
     """0x-hex (or decimal string) → Decimal(38,0); NULL on overflow/garbage.
 
-    Arrow-batched pandas UDF — the one genuinely-Python scalar (uint256 beats
-    both ``conv`` (64-bit) and JVM Decimal parsing of hex).
+    Two-tier decode (the parsed_logs.py static-decode pattern, generalized):
+    - 0x-hex with ≤ 15 significant digits (the overwhelming majority of
+      real values: gas, indexes, token amounts in base units, 64-char ABI
+      words with leading zeros) → native ``conv`` inside whole-stage codegen;
+    - everything else (true uint256 giants, decimal strings, garbage) →
+      Arrow-batched pandas UDF, which receives NULL for fast-path rows so
+      the Python parse only ever touches the rare slow values.
     """
-    return _hex_to_dec38_udf(c)
+    h = F.substring(c, 3, 2_000_000)
+    hz = F.regexp_replace(h, "^0+", "")  # strip ABI-word zero padding
+    fast = (
+        c.startswith("0x")
+        & (F.length(h) > 0)
+        & h.rlike("^[0-9a-fA-F]+$")
+        & (F.length(hz) <= 15)
+    )
+    jvm = F.conv(F.when(hz == "", F.lit("0")).otherwise(hz), 16, 10).cast(
+        DecimalType(38, 0)
+    )
+    slow_in = F.when(~fast, c)  # NULL for fast rows — skipped by the UDF
+    return F.when(fast, jvm).otherwise(_hex_to_dec38_udf(slow_in))
 
 
 def to_normalized_address(c: Column) -> Column:

@@ -222,9 +222,12 @@ def minhash_lsh_pairs(
 
 
 def simhash64(text: Column) -> Column:
-    """64-bit SimHash of word tokens: for each of 64 bit positions, sum
-    +1/-1 over tokens' md5-derived bits; bit = 1 when the sum > 0.
-    Columnar: per-token 64-bit value from the first 16 md5 hex chars."""
+    """60-bit SimHash of word tokens (bits 0..59 of a long): for each bit
+    position, count tokens whose md5-derived bit is set; signature bit = 1
+    when the majority is. 60 bits (15 md5 hex chars per token) keeps the
+    per-token hash inside a single exact JVM ``conv``→long — the remaining
+    4 bits of a full 64 buy ~0.1% Hamming resolution and would force a
+    second conv per token."""
     w = F.array_distinct(F.split(F.trim(F.lower(text)), "\\s+"))
     tok_bits = F.transform(w, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
     # for bit k: count tokens with bit set; bit of result = (2*cnt > n_tokens).
@@ -249,9 +252,17 @@ def simhash64(text: Column) -> Column:
 def simhash_near_dups(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance. Candidate generation by
-    16-bit chunk equality (pigeonhole: ≤3 differing bits → ≥1 of 4 chunks
-    equal), so the join is keyed, never a cross join."""
+    """Near-dup pairs by SimHash Hamming distance over the 60-bit signature.
+
+    Candidate generation is COMPLETE for the requested radius: the signature
+    is split into ``max_hamming + 1`` chunks, so by pigeonhole any pair with
+    ≤ max_hamming differing bits agrees on at least one whole chunk — the
+    join is keyed on (chunk_id, chunk value), never a cross join, and no
+    qualifying pair is missed (property-tested against brute force in
+    tests/test_dedup_props.py)."""
+    sig_bits = 60  # simhash64 fills bits 0..59
+    n_chunks = max_hamming + 1
+    width = -(-sig_bits // n_chunks)  # ceil; last chunk may be narrower
     sigs = docs.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
     chunks = sigs.select(
         "id",
@@ -261,9 +272,11 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftright("sig", c * 15).bitwiseAND(F.lit(0x7FFF)).alias("chunk"),
+                        F.shiftright("sig", c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("c"),

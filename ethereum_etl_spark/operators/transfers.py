@@ -103,10 +103,19 @@ def extract_token_transfers(logs: DataFrame) -> DataFrame:
     )
     # ERC-1155 batch: ABI (uint256[], uint256[]) — offsets are bytes from
     # data start; word index = offset/32; at each offset: length, items…
-    off_ids = (F.conv(w(0), 16, 10).cast("long") / 32).cast("int")
-    off_vals = (F.conv(w(1), 16, 10).cast("long") / 32).cast("int")
-    len_ids = F.conv(F.get("w", off_ids), 16, 10).cast("int")
-    len_vals = F.conv(F.get("w", off_vals), 16, 10).cast("int")
+    def w_small(word):
+        # offset/length words must be tiny; a malformed word ≥ 2^60 would
+        # make conv(...).cast('long') THROW under Spark 4 ANSI mode and
+        # poison the whole batch — require 49 leading zero hex chars
+        # (≤ 15 significant digits, exact in conv) and yield NULL otherwise
+        # so the row falls through batch_ok and is skipped, matching the
+        # reference's DecodingError-skip (token_transfer_extractor.py:150-157)
+        return F.when(word.rlike("^0{49}"), F.conv(word, 16, 10).cast("long"))
+
+    off_ids = (w_small(w(0)) / 32).cast("int")
+    off_vals = (w_small(w(1)) / 32).cast("int")
+    len_ids = w_small(F.get("w", off_ids)).cast("int")
+    len_vals = w_small(F.get("w", off_vals)).cast("int")
     n_pairs = F.least(len_ids, len_vals)  # zip() stops at the shorter array
     batch_ok = (
         (F.col("n_topics") == 4)

@@ -575,8 +575,14 @@ def q22(spark, sf):
 def q23(spark, sf):
     """P3 flagship: ERC-20 log decode. Logs are fabricated columnar from
     lineitem (so the oracle can rebuild them in SQL), then run through the
-    REAL extract_token_transfers operator."""
-    li = ld(spark, sf, "lineitem")
+    REAL extract_token_transfers operator.
+
+    The repartition fans the CPU-bound decode out to every core: the sf0.1
+    lineitem parquet yields only ~3 scan splits even at 16 MB
+    maxPartitionBytes, leaving 29 of 32 cores idle (measured 12.7s → 2.7s).
+    At 100 TB the scan has thousands of splits and the rebalance is a no-op
+    cost-wise (one narrow shuffle of the raw scan columns)."""
+    li = ld(spark, sf, "lineitem").repartition(spark.sparkContext.defaultParallelism)
     logs = li.select(
         F.col("l_linenumber").cast("int").alias("log_index"),
         F.md5(F.concat_ws(":", "l_orderkey", "l_linenumber")).alias("transaction_hash"),
@@ -805,25 +811,84 @@ def q30(spark, sf):
 
 # --- rows-only checks (non-SQL-expressible or stubbed surface) -------------
 
-@_q("q36_minhash_lsh_fast", None)
+@_q(
+    "q36_minhash_lsh_fast",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sigs AS (SELECT doc_id, seed, min(md5(seed || ':' || s)) AS mh
+             FROM dsh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed)
+             GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 4 AS band_id,
+                     string_agg(mh, '|' ORDER BY seed) AS band_key
+              FROM sigs GROUP BY doc_id, seed // 4),
+    capped AS (SELECT * FROM (
+                 SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bn
+                 FROM bands)
+               WHERE bn <= 64),
+    cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             FROM capped x JOIN capped y
+               ON x.band_id = y.band_id AND x.band_key = y.band_key
+              AND x.doc_id < y.doc_id),
+    m AS (SELECT c.id_a, c.id_b,
+                 sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS eq
+          FROM cand c
+          JOIN sigs sa ON sa.doc_id = c.id_a
+          JOIN sigs sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+          GROUP BY 1, 2)
+    SELECT id_a, id_b, round(eq / 16.0, 4) AS est_jaccard FROM m
+    """,
+)
 def q36(spark, sf):
-    """MinHash+LSH scale path: xxhash64 signatures (no hex-string
-    materialization) — the variant a 100 TB dedup run would use. Rows-only
-    (the md5 twin q27 carries the oracle)."""
+    """MinHash+LSH with the SCALE-PATH parameters: 4-slot bands (collision
+    prob j^4 — far fewer candidate pairs than q27's 2-slot bands) plus the
+    ``max_bucket`` mega-bucket guard. md5 slot hashing so the oracle is
+    bit-identical; bench.py additionally times the xxhash64 twin (same plan,
+    JVM 64-bit hashing, no hex-string materialization) as the 100 TB run
+    configuration."""
     return minhash_lsh_pairs(
         ld(spark, sf, "documents"),
         num_hashes=16,
-        bands=4,  # 4-slot bands: collision prob j^4 — far fewer candidates
-        hash_fn="xxhash64",
+        bands=4,
+        hash_fn="md5",
         max_bucket=64,  # drop boilerplate mega-buckets (quadratic guard)
     )
 
 
-@_q("q31_simhash_near_dups", None)
+def _simhash_oracle(max_hamming: int = 8) -> str:
+    """DuckDB mirror of simhash64 + an ALL-PAIRS Hamming filter. The Spark
+    side generates candidates by chunk-equality LSH; comparing against the
+    exhaustive oracle proves the candidate generation is complete for the
+    radius (the pigeonhole guarantee), not just that Hamming math agrees."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(bits, v -> (v >> {k}) & 1 = 1)) > n "
+        f"THEN {1 << k}::BIGINT ELSE 0 END)"
+        for k in range(60)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id, len(toks) AS n,
+             list_transform(toks,
+                            t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS bits
+      FROM w),
+    s AS (SELECT doc_id, ({bit_terms})::BIGINT AS sig FROM b)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
+@_q("q31_simhash_near_dups", _simhash_oracle(8))
 def q31(spark, sf):
-    """SimHash near-dup pairs (bit-level Hamming; rows-only check — 64-bit
-    hex→int and bit_count aren't portable to the oracle)."""
-    return simhash_near_dups(ld(spark, sf, "documents"), max_hamming=8)
+    """SimHash near-dup pairs (bit-level Hamming). Oracle = exhaustive
+    all-pairs Hamming filter in DuckDB — equality proves LSH candidate
+    completeness at this radius."""
+    out = simhash_near_dups(ld(spark, sf, "documents"), max_hamming=8)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 @_q("q32_media_features", None)
@@ -961,14 +1026,18 @@ def q35(spark, sf):
              '0x' || lpad(lower(to_hex(o_orderkey % 50)), 40, '0') AS pool_address,
              md5(CAST(o_orderkey AS VARCHAR)) AS tx,
              CAST(o_custkey AS DOUBLE) AS a0in,
-             CAST(o_totalprice AS DOUBLE) AS a1out,
+             -- the Spark side ABI-encodes the amount as a 64-bit word, i.e.
+             -- the integer-truncated price; encode the SAME value here
+             CAST(CAST(o_totalprice AS BIGINT) AS DOUBLE) AS a1out,
              CAST(1000 + o_orderkey % 97 AS DOUBLE) AS r0,
              CAST(5000 + o_orderkey % 89 AS DOUBLE) AS r1
       FROM orders WHERE o_orderkey <= 4096)
     SELECT pool_address, tx AS transaction_hash, o_orderkey AS block_number,
            'swap' AS event_type,
            round(a0in / 1000000.0, 6) AS amount0,
-           round(-a1out / 1e18, 6) AS amount1,
+           -- '+ 0.0' normalizes IEEE -0.0 (DuckDB round keeps the sign bit,
+           -- Spark's BigDecimal round does not)
+           round(-a1out / 1e18, 6) + 0.0 AS amount1,
            round(r0 / 1000000.0, 6) AS reserve0,
            round(r1 / 1e18, 6) AS reserve1,
            round((r1 / 1e18) / (r0 / 1000000.0), 6) AS price0
@@ -1045,18 +1114,56 @@ def q37(spark, sf):
         "block_number",
         "event_type",
         F.round(F.element_at("token_amounts", 1), 6).alias("amount0"),
-        F.round(F.element_at("token_amounts", 2), 6).alias("amount1"),
+        (F.round(F.element_at("token_amounts", 2), 6) + F.lit(0.0)).alias("amount1"),
         F.round(F.element_at("token_reserves", 1), 6).alias("reserve0"),
         F.round(F.element_at("token_reserves", 2), 6).alias("reserve1"),
         F.round(F.element_at("token_prices", 1), 6).alias("price0"),
     )
 
 
-@_q("q33_repo_file_latest", None)
+_REPO_WAL_ORACLE = """
+    -- regenerates sources/wal.py:generate_repo_wal(n_commits=20,
+    -- files_per_commit=50, n_repos=10, seed='42') field-for-field: the WAL
+    -- is a pure function of (index, seed), so the oracle rebuilds it instead
+    -- of needing a side-channel file
+    WITH ev AS (
+      SELECT (i // 50)::BIGINT AS commit_idx, i::BIGINT AS event_idx
+      FROM (SELECT unnest(range(0, 1000)) AS i)),
+    r AS (
+      SELECT commit_idx,
+             event_idx,
+             CASE WHEN event_idx % 5 = 0 THEN event_idx // 7
+                  ELSE event_idx END AS path_id
+      FROM ev),
+    rows_ AS (
+      SELECT commit_idx AS seq,
+             'repo-' || (event_idx % 10)::VARCHAR AS repo,
+             'src/' || (path_id % 13)::VARCHAR || '/f' || path_id::VARCHAR
+               || list_extract(['py','go','rs','js','java'],
+                               (path_id % 5)::INT + 1) AS path,
+             substr(sha256('42' || commit_idx::VARCHAR), 1, 40) AS commit,
+             list_extract(['py','go','rs','js','java'],
+                          (path_id % 5)::INT + 1) AS lang,
+             '// 42 file ' || path_id::VARCHAR || ' rev '
+               || commit_idx::VARCHAR || chr(10)
+               || repeat('line of code ' || (event_idx % 97)::VARCHAR
+                         || chr(10), 20) AS content
+      FROM r)
+    SELECT repo, path, commit, lang, sha256(content) AS content_sha
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY repo, path
+              ORDER BY seq DESC, commit DESC) AS rn
+          FROM rows_)
+    WHERE rn = 1
+"""
+
+
+@_q("q33_repo_file_latest", _REPO_WAL_ORACLE)
 def q33(spark, sf):
     """north_rule CDC query: latest file content per (repo, path) from the
     deterministic repo-file WAL, with per-row sha256 (the content-equality
-    invariant). Rows-only (input is generated, not a registered view)."""
+    invariant). The oracle regenerates the same WAL in SQL (it is a pure
+    function of index + seed) and applies the same latest-wins window."""
     from ethereum_etl_spark.sources.wal import generate_repo_wal
 
     wal = generate_repo_wal(spark, n_commits=20, files_per_commit=50, n_repos=10)

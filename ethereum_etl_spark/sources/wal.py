@@ -395,13 +395,17 @@ class WalTailer:
         self.align = align
         self._head = None
 
-    def head(self) -> int:
-        if self._head is None:
+    def head(self, refresh: bool = False) -> int:
+        """Current WAL head (max seq). Cached between sync cycles only —
+        ``compute_target`` refreshes it every cycle, so a long-lived tailer
+        observes rows appended while it runs (a memoized head would stop the
+        loop at the first head it ever saw)."""
+        if refresh or self._head is None:
             self._head = self.wal.agg(F.max("seq")).first()[0] or 0
         return self._head
 
     def compute_target(self, watermark: int, allow_skip: bool = False) -> int | None:
-        head = self.head() - self.lag
+        head = self.head(refresh=True) - self.lag
         if head <= watermark:
             return None
         if allow_skip and head - watermark > 1.5 * self.batch_size:

@@ -614,9 +614,30 @@ class ChainStreamer:
             ).first()
             complete = agg["n"] == want_blocks and df.count() == (agg["want_tx"] or 0)
         elif entity == "log":
+            # sum(receipt_logs_count) alone is vacuous: an empty transactions
+            # range sums to 0 and an empty logs table would pass. Mirror the
+            # reference's blocks_previously_exported + get_logs_count_from_
+            # transactions gates (ch_adapter:159-167,272-294): blocks must be
+            # complete, the tx count must match, and EVERY tx must carry a
+            # non-null receipt_logs_count before the sum is trusted.
+            blocks = self.tables["blocks"].read(prune_min=lo_block, prune_max=hi_block)
+            bagg = blocks.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("transaction_count").alias("want_tx")
+            ).first()
             txs = self.tables["transactions"].read(prune_min=lo_block, prune_max=hi_block)
-            want_logs = txs.agg(F.sum("receipt_logs_count")).first()[0] or 0
-            complete = df.count() == want_logs
+            tagg = txs.agg(
+                F.count(F.lit(1)).alias("n_tx"),
+                F.sum("receipt_logs_count").alias("want_logs"),
+                F.sum(
+                    F.when(F.col("receipt_logs_count").isNull(), 1).otherwise(0)
+                ).alias("n_null"),
+            ).first()
+            tx_complete = (
+                bagg["n"] == want_blocks
+                and tagg["n_tx"] == (bagg["want_tx"] or 0)
+                and (tagg["n_null"] or 0) == 0
+            )
+            complete = tx_complete and df.count() == (tagg["want_logs"] or 0)
         else:
             complete = df.count() > 0
 

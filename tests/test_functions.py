@@ -51,9 +51,28 @@ def test_hex_to_long(spark):
 
 def test_hex_to_dec38(spark):
     big = hex(10**40)  # overflows Decimal(38,0) -> NULL
-    df = spark.createDataFrame([("0xde0b6b3a7640000",), (big,), (None,), ("junk",)], ["h"])
+    cases = [
+        ("0xde0b6b3a7640000", Decimal(10**18)),  # 15 hex digits: JVM path
+        (big, None),
+        (None, None),
+        ("junk", None),
+        # boundary: 15 vs 16 significant hex digits (JVM vs UDF path)
+        (hex(2**60 - 1), Decimal(2**60 - 1)),
+        (hex(2**60), Decimal(2**60)),
+        (hex(2**64), Decimal(2**64)),
+        # 64-char ABI word with leading-zero padding → still JVM path
+        ("0x" + "0" * 61 + "fff", Decimal(0xFFF)),
+        ("0x" + "0" * 64, Decimal(0)),
+        # decimal string (no 0x): parsed as base-10 (dex parsed_event contract)
+        ("123456", Decimal(123456)),
+        ("0x", None),
+        ("0xzz", None),
+        (str(10**38 - 1), Decimal(10**38 - 1)),
+        (str(10**38), None),  # decimal-string overflow
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], ["h"])
     vals = [r[0] for r in df.select(hex_to_dec38(F.col("h"))).collect()]
-    assert vals == [Decimal(10**18), None, None, None]
+    assert vals == [c[1] for c in cases]
 
 
 def test_split_to_words_and_address(spark):

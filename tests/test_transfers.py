@@ -60,6 +60,19 @@ def test_all_standards_and_skip_rules(spark):
         # 9: ERC-1155 batch truncated (declared len > words) → dropped
         _log(9, [ERC1155_BATCH_TOPIC, _word_addr(OP), _word_addr(A1), _word_addr(A2)],
              "0x" + _word_int(0x40) + _word_int(0x80) + _word_int(9)),
+        # 10: ERC-1155 batch with a GARBAGE offset word (> 2^64) — must be
+        # SKIPPED, not crash the batch: conv(...).cast('long') throws
+        # ARITHMETIC_OVERFLOW under Spark 4 ANSI mode without the
+        # leading-zeros guard (reference catches DecodingError and skips)
+        _log(10, [ERC1155_BATCH_TOPIC, _word_addr(OP), _word_addr(A1), _word_addr(A2)],
+             "0x" + "f" * 64 + _word_int(0xA0)
+             + _word_int(2) + _word_int(1) + _word_int(2)
+             + _word_int(2) + _word_int(10) + _word_int(20)),
+        # 11: same poison on the lengths word
+        _log(11, [ERC1155_BATCH_TOPIC, _word_addr(OP), _word_addr(A1), _word_addr(A2)],
+             "0x" + _word_int(0x40) + _word_int(0xA0)
+             + "f" * 64 + _word_int(1) + _word_int(2)
+             + _word_int(2) + _word_int(10) + _word_int(20)),
     ]
     df = spark.createDataFrame(rows, LOG_SCHEMA)
     out = sorted(
