@@ -45,7 +45,15 @@ def hex_to_long(c: Column) -> Column:
 def _hex_to_dec38_udf(s: pd.Series) -> pd.Series:
     def parse(x):
         try:
-            v = int(x, 16) if isinstance(x, str) and x.startswith("0x") else int(x)
+            if isinstance(x, str) and x.startswith("~0x"):
+                # two's-complement marker emitted by the signed ABI decode
+                # (parsed_logs._decode_param): value = hex - 2^(4*width)
+                h = x[3:]
+                v = int(h, 16) - (1 << (4 * len(h)))
+            elif isinstance(x, str) and x.startswith("0x"):
+                v = int(x, 16)
+            else:
+                v = int(x)
         except (ValueError, TypeError):
             return None
         # overflow channel: NULL above Decimal(38,0), mirroring the overflow

@@ -360,13 +360,14 @@ class LakeTable:
             touched = set(range(lo_pt, hi_pt + 1))
             for v in extra_touched_values or []:
                 touched.add(v // m.partition_size)
+            batch_min_prune = touched_range[0]
         else:
-            touched = {
-                r[0]
-                for r in aligned.select(F.coalesce(pt_expr, F.lit(-1)))
-                .distinct()
-                .collect()
-            }
+            agg = aligned.agg(
+                F.collect_set(F.coalesce(pt_expr, F.lit(-1))).alias("pts"),
+                F.min(F.col(m.prune_col)).alias("mn"),
+            ).first()
+            touched = set(agg["pts"])
+            batch_min_prune = agg["mn"]
             if delete_keys is not None and m.prune_col in delete_keys.columns:
                 touched |= {
                     r[0]
@@ -378,6 +379,50 @@ class LakeTable:
         affected = [f for f in m.files if f.pt in touched]
         kept = [f for f in m.files if f.pt not in touched]
 
+        # --- append-only fast path (the chain-tail case) ---------------------
+        # A micro-batch of NEW tail blocks rewrites the same tail partition
+        # over and over under copy-on-write: cost per event ∝ partition_size /
+        # batch_size — the 10^10-event scale killer. When the natural key
+        # CONTAINS the prune column (blocks/txs/logs/transfers/balances — the
+        # ReplacingMergeTree ORDER BYs all lead with block_number) and every
+        # already-stored row in the touched partitions sits strictly below
+        # the batch's key range (file-footer max_prune < batch min), no
+        # stored key can collide with a batch key: skip the read-modify-write
+        # entirely, dedup within the batch, and append the new files next to
+        # the old ones. All appended file sets cover disjoint prune ranges,
+        # so reads never need cross-file dedup; _maybe_compact() folds small
+        # files back together so file counts stay O(log) per partition.
+        can_append = (
+            delete_keys is None
+            and m.prune_col in m.key
+            and batch_min_prune is not None
+            and -1 not in touched
+            and all(
+                f.max_prune is not None and f.max_prune < batch_min_prune
+                for f in affected
+            )
+        )
+        if can_append:
+            order = [F.col("__precedence").desc()]
+            if version_col is not None:
+                order.append(F.col(version_col).desc_nulls_last())
+            w = Window.partitionBy(*m.key).orderBy(*order)
+            merged = (
+                aligned.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__precedence")
+            )
+            new_version = m.version + 1
+            m.schema_json = evolved.jsonValue()
+            new_files = self._write_partitioned(merged, m, new_version)
+            m.files = m.files + new_files
+            m.version = new_version
+            if batch_id is not None:
+                m.batch_ids = (m.batch_ids + [batch_id])[-1000:]
+            self._commit(m)
+            self._maybe_compact(touched)
+            return self.current_version()
+
         if affected:
             old = self.spark.read.schema(evolved).parquet(
                 *[os.path.join(self.root, f.path) for f in affected]
@@ -385,11 +430,19 @@ class LakeTable:
             old = old.withColumn("__precedence", F.lit(0))
             if delete_keys is not None:
                 dkc = delete_key_cols or m.key
-                old = old.join(
-                    F.broadcast(delete_keys.select(*dkc).distinct()),
-                    on=dkc,
-                    how="left_anti",
+                dk = F.broadcast(
+                    delete_keys.select(
+                        *[F.col(c).alias(f"__dk_{c}") for c in dkc]
+                    ).distinct()
                 )
+                # null-safe equality: delete keys may legitimately carry NULL
+                # components (e.g. token_id for ERC-20 balance keys) and a
+                # plain equi-join would silently never match them
+                cond = None
+                for c in dkc:
+                    eq = F.col(c).eqNullSafe(F.col(f"__dk_{c}"))
+                    cond = eq if cond is None else (cond & eq)
+                old = old.join(dk, on=cond, how="left_anti")
             combined = old.unionByName(aligned)
         else:
             combined = aligned
@@ -418,6 +471,57 @@ class LakeTable:
         self._commit(m)
         self._gc(old_dirs)
         return new_version
+
+    COMPACT_FILE_THRESHOLD = 12
+
+    def _maybe_compact(self, pts: set[int]) -> None:
+        """Size-tiered compaction for append-mode partitions: when a
+        partition accumulates more than COMPACT_FILE_THRESHOLD files, fold
+        the small tail files into one, LEAVING any dominant file (bigger
+        than all the rest combined) alone. Each row is therefore rewritten
+        O(log(partition_rows / batch_rows)) times instead of once per batch
+        (pure copy-on-write) or never (unbounded file counts). Appended file
+        sets cover disjoint key ranges, so compaction is a concatenation —
+        no dedup window needed."""
+        m = self.manifest()
+        by_pt: dict[int, list[DataFile]] = {}
+        for f in m.files:
+            if f.pt in pts:
+                by_pt.setdefault(f.pt, []).append(f)
+        plan: list[tuple[int, list[DataFile]]] = []
+        for pt, files in by_pt.items():
+            if len(files) <= self.COMPACT_FILE_THRESHOLD:
+                continue
+            files = sorted(files, key=lambda f: -f.rows)
+            rest = files[1:] if files[0].rows > sum(f.rows for f in files[1:]) else files
+            if len(rest) >= 2:
+                plan.append((pt, rest))
+        if not plan:
+            return
+        victims = [f for _, fs in plan for f in fs]
+        df = self.spark.read.schema(m.schema).parquet(
+            *[os.path.join(self.root, f.path) for f in victims]
+        )
+        new_version = m.version + 1
+        new_files = self._write_partitioned(df, m, new_version)
+        dead = {f.path for f in victims}
+        old_dirs = {
+            os.path.dirname(os.path.dirname(os.path.join(self.root, f.path)))
+            for f in victims
+        }
+        m.files = [f for f in m.files if f.path not in dead] + new_files
+        m.version = new_version
+        self._commit(m)
+        self._gc(old_dirs)
+        # dirs still partly referenced survive _gc; drop the dead files
+        # inside them so disk usage tracks the manifest
+        live = {f.path for f in self.manifest().files}
+        for p in dead:
+            if p not in live:
+                try:
+                    os.remove(os.path.join(self.root, p))
+                except OSError:
+                    pass
 
     def _gc(self, candidate_dirs: set[str]) -> None:
         """Remove data version dirs no longer referenced by the current

@@ -21,13 +21,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# canonical burn/mint sink addresses (misc/info.py NULL set, abbreviated to
-# the universally-used members; membership test is a broadcast literal)
+# canonical burn/mint sink addresses — the FULL reference set
+# (/root/reference/ethereumetl/misc/info.py:5-31: precompiles 0x1-0x9, dead/
+# vanity burn sinks, repeated-digit throwaways) plus the legacy
+# 0xdead…0000 alias kept from r1 (transfers to any of these must not create
+# a balance leg); membership test is a broadcast literal
 NULL_ADDRESSES = [
-    "0x0000000000000000000000000000000000000000",
+    *[f"0x{i:040x}" for i in range(10)],  # 0x0 + precompiles 0x1-0x9
     "0x000000000000000000000000000000000000dead",
-    "0xdead000000000000000000000000000000000000",
+    "0x1111111111111111111111111111111111111111",
+    "0x2222222222222222222222222222222222222222",
+    "0x3333333333333333333333333333333333333333",
+    "0x4444444444444444444444444444444444444444",
+    "0x6666666666666666666666666666666666666666",
+    "0x8888888888888888888888888888888888888888",
+    "0x1234567890123456789012345678901234567890",
+    "0xdead000000000000000042069420694206942069",
+    "0x0123456789012345678901234567890123456789",
+    "0x00000000000000000000045261d4ee77acdb3286",
+    "0xaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+    "0xbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbb",
+    "0xeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeee",
     "0xffffffffffffffffffffffffffffffffffffffff",
+    "0xdead000000000000000000000000000000000000",
 ]
 
 def _TID():

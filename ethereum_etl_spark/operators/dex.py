@@ -225,3 +225,291 @@ def latest_price_per_token(trades: DataFrame) -> DataFrame:
         F.max_by("price", order).alias("latest_price"),
         F.max("block_number").alias("as_of_block"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Uniswap-V3 family (service/dex/uniswap_v3/uniswap_v3.py re-expressed)
+# ---------------------------------------------------------------------------
+
+UNISWAP_V3_ABIS = [
+    EventAbi(
+        name="Swap",
+        inputs=[
+            {"name": "sender", "type": "address", "indexed": True},
+            {"name": "recipient", "type": "address", "indexed": True},
+            {"name": "amount0", "type": "int256", "indexed": False},
+            {"name": "amount1", "type": "int256", "indexed": False},
+            {"name": "sqrtPriceX96", "type": "uint160", "indexed": False},
+            {"name": "liquidity", "type": "uint128", "indexed": False},
+            {"name": "tick", "type": "int24", "indexed": False},
+        ],
+        namespace="uniswap_v3",
+        contract_name="pool",
+    ),
+    EventAbi(
+        name="Mint",
+        inputs=[
+            {"name": "sender", "type": "address", "indexed": False},
+            {"name": "owner", "type": "address", "indexed": True},
+            {"name": "tickLower", "type": "int24", "indexed": True},
+            {"name": "tickUpper", "type": "int24", "indexed": True},
+            {"name": "amount", "type": "uint128", "indexed": False},
+            {"name": "amount0", "type": "uint256", "indexed": False},
+            {"name": "amount1", "type": "uint256", "indexed": False},
+        ],
+        namespace="uniswap_v3",
+        contract_name="pool",
+    ),
+    EventAbi(
+        name="Burn",
+        inputs=[
+            {"name": "owner", "type": "address", "indexed": True},
+            {"name": "tickLower", "type": "int24", "indexed": True},
+            {"name": "tickUpper", "type": "int24", "indexed": True},
+            {"name": "amount", "type": "uint128", "indexed": False},
+            {"name": "amount0", "type": "uint256", "indexed": False},
+            {"name": "amount1", "type": "uint256", "indexed": False},
+        ],
+        namespace="uniswap_v3",
+        contract_name="pool",
+    ),
+    EventAbi(
+        name="Collect",
+        inputs=[
+            {"name": "owner", "type": "address", "indexed": True},
+            {"name": "recipient", "type": "address", "indexed": False},
+            {"name": "tickLower", "type": "int24", "indexed": True},
+            {"name": "tickUpper", "type": "int24", "indexed": True},
+            {"name": "amount0", "type": "uint128", "indexed": False},
+            {"name": "amount1", "type": "uint128", "indexed": False},
+        ],
+        namespace="uniswap_v3",
+        contract_name="pool",
+    ),
+]
+
+
+def extract_dex_trades_v3(
+    parsed_logs: DataFrame,
+    pools: DataFrame,
+    tokens: DataFrame,
+    pool_balances: DataFrame | None = None,
+) -> DataFrame:
+    """parsed uniswap-v3 pool logs → dex_trades rows.
+
+    Reference semantics (uniswap_v3.py:134-226):
+    - token_amounts = [amount0/10^d0, amount1/10^d1] for Swap/Mint/Burn and
+      Collect (Collect resolves through the burn path → event_type 'burn');
+      v3 Swap amounts are SIGNED int256 (out-token negative) — decoded by
+      the signed static-ABI path.
+    - price0 = (sqrtPriceX96² / 2¹⁹²) / (10^d1 / 10^d0); price1 = 1/price0
+      (uniswap_v3.py:288-295). Non-Swap events carry no sqrtPriceX96 and the
+      reference point-calls slot0; the lake rendering takes the last Swap's
+      sqrtPriceX96 in the same (pool, tx) window, else 0 (the reference's
+      error fallback).
+    - reserves: the reference point-calls balanceOf(pool) per token at the
+      trade block (uniswap_v3.py:123-132); here an AS-OF join against the
+      ``pool_balances`` table (token_address, holder_address, block_number,
+      value) — latest balance ≤ trade block, scaled by token decimals.
+      Without it reserves are 0 (the reference's fallback).
+    """
+    p = F.broadcast(
+        pools.select(
+            F.col("address").alias("contract_address"),
+            "factory_address",
+            "token_addresses",
+            F.element_at("token_addresses", 1).alias("__t0"),
+            F.element_at("token_addresses", 2).alias("__t1"),
+        )
+    )
+    tok = tokens.select("address", "decimals")
+    events = parsed_logs.filter(
+        F.array_contains(F.col("namespace"), "uniswap_v3")
+        & F.col("event_name").isin("Swap", "Mint", "Burn", "Collect")
+    )
+    ev = (
+        events.join(p, on="contract_address", how="inner")
+        .join(
+            F.broadcast(tok.select(F.col("address").alias("__t0"), F.col("decimals").alias("__d0"))),
+            on="__t0", how="left",
+        )
+        .join(
+            F.broadcast(tok.select(F.col("address").alias("__t1"), F.col("decimals").alias("__d1"))),
+            on="__t1", how="left",
+        )
+        .withColumn("__s0", F.pow(F.lit(10.0), F.coalesce("__d0", F.lit(18))))
+        .withColumn("__s1", F.pow(F.lit(10.0), F.coalesce("__d1", F.lit(18))))
+    )
+
+    # sqrtPriceX96 as-of within (pool, tx): Swap rows carry it; Mint/Burn/
+    # Collect take the latest preceding one (same shape as the v2 Sync
+    # window — no RPC)
+    w = (
+        Window.partitionBy("contract_address", "transaction_hash")
+        .orderBy("log_index")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sqrtp = F.when(F.col("event_name") == "Swap", _pe("sqrtPriceX96"))
+    ev = ev.withColumn("__sqrtp", F.last(sqrtp, ignorenulls=True).over(w))
+    scalars_diff = F.col("__s1") / F.col("__s0")
+    price0 = F.when(
+        F.col("__sqrtp").isNotNull(),
+        (F.col("__sqrtp") * F.col("__sqrtp") / F.lit(float(2**192))) / scalars_diff,
+    ).otherwise(F.lit(0.0))
+    price1 = F.when(price0 > 0, F.lit(1.0) / price0).otherwise(F.lit(0.0))
+
+    amount0 = _pe("amount0") / F.col("__s0")
+    amount1 = _pe("amount1") / F.col("__s1")
+    wallet = F.coalesce(
+        F.col("parsed_event")["recipient"],
+        F.col("parsed_event")["owner"],
+        F.col("parsed_event")["sender"],
+    )
+
+    trades = ev.select(
+        F.array(amount0, amount1).alias("token_amounts"),
+        F.col("contract_address").alias("pool_address"),
+        "transaction_hash",
+        "log_index",
+        "block_number",
+        F.when(F.col("event_name") == "Swap", "swap")
+        .when(F.col("event_name") == "Mint", "mint")
+        .otherwise("burn")  # Burn and Collect both resolve as burns
+        .alias("event_type"),
+        F.array(price0, price1).alias("token_prices"),
+        "token_addresses",
+        "factory_address",
+        wallet.alias("wallet_address"),
+        F.lit("uniswap_v3").alias("amm"),
+        F.col("__t0"), F.col("__t1"), F.col("__s0"), F.col("__s1"),
+    )
+
+    if pool_balances is None:
+        trades = trades.withColumn(
+            "token_reserves", F.array(F.lit(0.0), F.lit(0.0))
+        )
+    else:
+        trades = _asof_pool_reserves(trades, pool_balances)
+    return trades.drop("__t0", "__t1", "__s0", "__s1")
+
+
+def _asof_pool_reserves(trades: DataFrame, pool_balances: DataFrame) -> DataFrame:
+    """As-of lookup: per trade and pool token, the latest balance with
+    block_number ≤ trade block (inclusive, like balanceOf at the block).
+
+    Union trick: balance rows and trade probes share one window keyed
+    (holder=pool, token) ordered by (block, is_probe) — balances at the same
+    block sort first, so the running last-value is the as-of answer. One
+    shuffle, no range join explosion."""
+    probes = trades.select(
+        F.col("pool_address").alias("holder_address"),
+        F.explode(
+            F.array(
+                F.struct(F.col("__t0").alias("token_address"), F.lit(0).alias("slot")),
+                F.struct(F.col("__t1").alias("token_address"), F.lit(1).alias("slot")),
+            )
+        ).alias("pt"),
+        F.col("block_number"),
+        F.col("transaction_hash"),
+        F.col("log_index"),
+    ).select(
+        "holder_address", F.col("pt.token_address").alias("token_address"),
+        F.col("pt.slot").alias("slot"), "block_number", "transaction_hash", "log_index",
+    )
+    bal = pool_balances.select(
+        "holder_address", "token_address", "block_number",
+        F.col("value").cast("double").alias("__bal"),
+    ).withColumn("__probe", F.lit(0)).withColumn("slot", F.lit(None).cast("int")) \
+        .withColumn("transaction_hash", F.lit(None).cast("string")) \
+        .withColumn("log_index", F.lit(None).cast("int"))
+    pr = probes.withColumn("__probe", F.lit(1)).withColumn("__bal", F.lit(None).cast("double"))
+    unioned = bal.unionByName(pr.select(*bal.columns))
+    w = (
+        Window.partitionBy("holder_address", "token_address")
+        .orderBy("block_number", "__probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    asof = (
+        unioned.withColumn("__asof", F.last("__bal", ignorenulls=True).over(w))
+        .filter(F.col("__probe") == 1)
+        .select(
+            F.col("holder_address").alias("pool_address"),
+            "transaction_hash", "log_index", "slot",
+            F.coalesce("__asof", F.lit(0.0)).alias("__r"),
+        )
+    )
+    r = asof.groupBy("pool_address", "transaction_hash", "log_index").pivot(
+        "slot", [0, 1]
+    ).agg(F.first("__r"))
+    return trades.join(
+        r, on=["pool_address", "transaction_hash", "log_index"], how="left"
+    ).withColumn(
+        "token_reserves",
+        F.array(
+            F.coalesce(F.col("0") / F.col("__s0"), F.lit(0.0)),
+            F.coalesce(F.col("1") / F.col("__s1"), F.lit(0.0)),
+        ),
+    ).drop("0", "1")
+
+
+# ---------------------------------------------------------------------------
+# Pool discovery (export_dex_pools_job + per-AMM factory create metadata)
+# ---------------------------------------------------------------------------
+
+FACTORY_ABIS = [
+    EventAbi(
+        name="PairCreated",
+        inputs=[
+            {"name": "token0", "type": "address", "indexed": True},
+            {"name": "token1", "type": "address", "indexed": True},
+            {"name": "pair", "type": "address", "indexed": False},
+            {"name": "idx", "type": "uint256", "indexed": False},
+        ],
+        namespace="uniswap_v2",
+        contract_name="factory",
+    ),
+    EventAbi(
+        name="PoolCreated",
+        inputs=[
+            {"name": "token0", "type": "address", "indexed": True},
+            {"name": "token1", "type": "address", "indexed": True},
+            {"name": "fee", "type": "uint24", "indexed": True},
+            {"name": "tickSpacing", "type": "int24", "indexed": False},
+            {"name": "pool", "type": "address", "indexed": False},
+        ],
+        namespace="uniswap_v3",
+        contract_name="factory",
+    ),
+]
+
+V2_DEFAULT_FEE = 3000  # DexPoolFeeAmount.MEDIUM (service/dex/enums.py:8)
+
+
+def discover_pools(parsed_logs: DataFrame) -> DataFrame:
+    """Factory create events → dex_pools dimension rows (EthDexPool shape,
+    domain/dex_pool.py:25-32). The reference bootstraps pools by RPC
+    introspection per unseen address (export_dex_pools_job.py); a lake
+    engine derives the dimension from the factory event stream itself —
+    PairCreated (v2, fee fixed at MEDIUM=3000, LP token = the pair) and
+    PoolCreated (v3, fee from the event, LP positions are NFTs → the pool
+    address stands in, uniswap_v3.py:60-66)."""
+    pe = F.col("parsed_event")
+    v2 = parsed_logs.filter(F.col("event_name") == "PairCreated").select(
+        F.lower(pe["pair"]).alias("address"),
+        F.col("contract_address").alias("factory_address"),
+        F.array(F.lower(pe["token0"]), F.lower(pe["token1"])).alias("token_addresses"),
+        F.lit(V2_DEFAULT_FEE).alias("fee"),
+        F.array(F.lower(pe["pair"])).alias("lp_token_addresses"),
+        F.lit("uniswap_v2").alias("amm"),
+        F.col("block_number"),
+    )
+    v3 = parsed_logs.filter(F.col("event_name") == "PoolCreated").select(
+        F.lower(pe["pool"]).alias("address"),
+        F.col("contract_address").alias("factory_address"),
+        F.array(F.lower(pe["token0"]), F.lower(pe["token1"])).alias("token_addresses"),
+        pe["fee"].cast("int").alias("fee"),
+        F.array(F.lower(pe["pool"])).alias("lp_token_addresses"),
+        F.lit("uniswap_v3").alias("amm"),
+        F.col("block_number"),
+    )
+    return v2.unionByName(v3)

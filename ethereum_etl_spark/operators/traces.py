@@ -53,11 +53,19 @@ def _norm_addr(a):
 
 
 def _flatten_tree(block_number, tx_index, tx_hash, tree):
-    """DFS preorder flatten with status propagation. Yields dict rows."""
-    stack = [(tree, [], False)]  # (node, trace_address, parent_failed)
+    """DFS preorder flatten with status propagation. Yields dict rows.
+
+    Besides the trace fields, each row carries the internal-transfer
+    projection of the same frame (raw type, the reference's quirky
+    depth-string id, walk-default gas limit, value-key presence) so ONE
+    tree walk serves traces, contracts AND internal transfers — the walk
+    is the costliest Python stage of a sync cycle and used to run twice.
+    """
+    # (node, trace_address, parent_failed, depth_string)
+    stack = [(tree, [], False, "0")]
     out = []
     while stack:
-        node, ta, parent_failed = stack.pop()
+        node, ta, parent_failed, depth = stack.pop()
         raw_type = (node.get("type") or "call").lower()
         call_type = None
         if raw_type == "selfdestruct":
@@ -69,6 +77,7 @@ def _flatten_tree(block_number, tx_index, tx_hash, tree):
         error = node.get("error")
         failed = parent_failed or (error is not None and len(str(error)) > 0)
         calls = node.get("calls") or []
+        gas = node.get("gas", "0x0")  # walk-default: absent key counts as 0
         out.append(
             {
                 "block_number": block_number,
@@ -91,30 +100,55 @@ def _flatten_tree(block_number, tx_index, tx_hash, tree):
                 "trace_id": "_".join(
                     [trace_type, tx_hash, "_".join(str(x) for x in ta)]
                 ),
+                "_raw_type": raw_type,
+                "_depth": depth,
+                "_has_value": node.get("value") is not None,
+                "_gas_limit": _hex_to_int(gas) if isinstance(gas, str) else gas,
             }
         )
+        # replicate the reference's sibling depth-string update EXACTLY,
+        # including its ≥10-sibling quirk (depth[:-1] strips one char, str(i)
+        # appends two) — internal_transfer_mapper.py:17-42 parity
+        child_depths = []
+        d = depth
+        for i in range(len(calls)):
+            d = d + "0" if i == 0 else d[:-1] + str(i)
+            child_depths.append(d)
         # push children reversed so pop() yields DFS preorder
         for i in range(len(calls) - 1, -1, -1):
-            stack.append((calls[i], [*ta, i], failed))
+            stack.append((calls[i], [*ta, i], failed, child_depths[i]))
     return out
 
 
-def flatten_geth_traces(geth_traces: DataFrame) -> DataFrame:
+INTERNAL_COLS = ["_raw_type", "_depth", "_has_value", "_gas_limit"]
+_INTERNAL_FIELDS_DDL = (
+    "_raw_type string, _depth string, _has_value boolean, _gas_limit long"
+)
+
+
+def flatten_geth_traces(
+    geth_traces: DataFrame, include_internal: bool = False
+) -> DataFrame:
     """geth_traces(transaction_hash, block_number[, transaction_index],
     transaction_traces JSON) → flat trace rows (TRACE_SCHEMA sans
-    trace_index; add with assign_trace_index)."""
+    trace_index; add with assign_trace_index).
+
+    ``include_internal`` appends the per-frame internal-transfer projection
+    columns (INTERNAL_COLS) so internal transfers derive from the SAME walk
+    — see internal_transfers_from_frames."""
     has_tx_index = "transaction_index" in geth_traces.columns
     cols = ["transaction_hash", "block_number", "transaction_traces"] + (
         ["transaction_index"] if has_tx_index else []
     )
     src = geth_traces.select(*cols)
 
-    schema = TRACE_SCHEMA
-    names = [f.name for f in schema.fields if f.name != "trace_index"]
-    out_schema = schema
     from pyspark.sql.types import StructType
 
-    out_schema = StructType([f for f in schema.fields if f.name != "trace_index"])
+    base_fields = [f for f in TRACE_SCHEMA.fields if f.name != "trace_index"]
+    if include_internal:
+        base_fields += list(StructType.fromDDL(_INTERNAL_FIELDS_DDL).fields)
+    out_schema = StructType(base_fields)
+    names = [f.name for f in out_schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -220,52 +254,32 @@ def calculate_trace_statuses(traces: DataFrame) -> DataFrame:
     return propagated.unionByName(without_tx)
 
 
-def extract_internal_transfers(geth_traces: DataFrame) -> DataFrame:
+def internal_transfers_from_frames(frames: DataFrame) -> DataFrame:
     """P6: value-bearing frames → internal transfers with the reference's
     exact depth-string id scheme (internal_transfer_mapper.py:17-42,
-    including its sibling-update quirk, replicated for parity)."""
-    src = geth_traces.select("transaction_hash", "block_number", "transaction_traces")
+    including its sibling-update quirk — carried through the flatten DFS).
 
-    def walk(tx_hash, tree):
-        out = []
+    ``frames`` must come from flatten_geth_traces(include_internal=True);
+    this is a pure column projection, so deriving internal transfers costs
+    no second tree walk. _has_value distinguishes a present-but-unparseable
+    value (row emitted with NULL value, like the reference) from an absent
+    value key (no row)."""
+    out = frames.filter(F.col("_has_value")).select(
+        "transaction_hash",
+        "block_number",
+        "from_address",
+        "to_address",
+        F.col("value"),
+        F.col("_gas_limit").alias("gas_limit"),
+        F.concat_ws("_", F.col("_raw_type"), F.col("_depth")).alias("id"),
+    )
+    return out.select(
+        *[F.col(f.name).cast(f.dataType) for f in INTERNAL_TRANSFER_SCHEMA.fields]
+    )
 
-        def dfs(trace, depth):
-            v = trace.get("value")
-            if v is not None:
-                gas = trace.get("gas", "0x0")
-                out.append(
-                    {
-                        "transaction_hash": tx_hash,
-                        "from_address": _norm_addr(trace.get("from")),
-                        "to_address": _norm_addr(trace.get("to")),
-                        "value": _hex_to_int(v) if isinstance(v, str) else v,
-                        "gas_limit": _hex_to_int(gas) if isinstance(gas, str) else gas,
-                        "id": (trace.get("type", "call") or "call").lower() + f"_{depth}",
-                    }
-                )
-            for i, sub in enumerate(trace.get("calls") or []):
-                if i == 0:
-                    depth = f"{depth}{i}"
-                else:
-                    depth = depth[:-1] + str(i)
-                dfs(sub, depth)
 
-        dfs(tree, "0")
-        return out
-
-    names = [f.name for f in INTERNAL_TRANSFER_SCHEMA.fields]
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                items = walk(r.transaction_hash, json.loads(r.transaction_traces))
-                for it in items:
-                    it["block_number"] = r.block_number
-                rows.extend(items)
-            if rows:
-                yield pd.DataFrame(rows)[names]
-            else:
-                yield pd.DataFrame({n: [] for n in names})
-
-    return src.mapInPandas(run, INTERNAL_TRANSFER_SCHEMA)
+def extract_internal_transfers(geth_traces: DataFrame) -> DataFrame:
+    """P6 standalone entry: one flatten walk + the frame projection."""
+    return internal_transfers_from_frames(
+        flatten_geth_traces(geth_traces, include_internal=True)
+    )

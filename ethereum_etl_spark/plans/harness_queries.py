@@ -780,6 +780,72 @@ ORACLES["q29_nearest_centroid"] = """
 """
 
 
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+
+
+_IVF_ORACLE = f"""
+    WITH cq AS (
+      SELECT (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0) AS c0,
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 1) AS c1,
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 2) AS c2,
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7) AS q
+      ),
+    cells AS (
+      SELECT 0 AS cid, {_cos_sql('c0', 'q')} AS s FROM cq
+      UNION ALL SELECT 1, {_cos_sql('c1', 'q')} FROM cq
+      UNION ALL SELECT 2, {_cos_sql('c2', 'q')} FROM cq),
+    probe AS (SELECT cid FROM cells ORDER BY s DESC, cid LIMIT 2),
+    s AS (
+      SELECT vec_id,
+             {_cos_sql('embedding::DOUBLE[]', 'c0')} AS s0,
+             {_cos_sql('embedding::DOUBLE[]', 'c1')} AS s1,
+             {_cos_sql('embedding::DOUBLE[]', 'c2')} AS s2,
+             {_cos_sql('embedding::DOUBLE[]', 'q')} AS sq
+      FROM embeddings, cq),
+    asg AS (
+      SELECT vec_id, sq,
+             CASE WHEN s2 >= s1 AND s2 >= s0 THEN 2
+                  WHEN s1 >= s0 THEN 1 ELSE 0 END AS cell
+      FROM s)
+    SELECT vec_id, sq AS cos_sim FROM asg
+    WHERE cell IN (SELECT cid FROM probe)
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+@_q("q40_ivf_topk", _IVF_ORACLE)
+def q40(spark, sf):
+    """IVF-ANN query path: assignments are BUILT ONCE and persisted
+    partitioned by cell (the 100 TB layout: probing = partition pruning,
+    each query scans ~n_probe/K of the table), then the query ranks cells
+    driver-side, filters to the 2 nearest, and re-ranks exactly inside.
+    Centroids = embeddings 0-2, query = embedding 7 — all reconstructable
+    by the SQL oracle, which mirrors the probe selection and the
+    higher-cid-wins argmax tie rule of nearest_centroid."""
+    import hashlib as _hl
+    import os as _os
+
+    from ethereum_etl_spark.operators.similarity import ivf_topk, nearest_centroid
+
+    emb = ld(spark, sf, "embeddings")
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.filter("vec_id IN (0,1,2,7)").collect()}
+    cents = [rows[0], rows[1], rows[2]]
+    apath = f"/tmp/ivf_assign_{_hl.md5(sf.encode()).hexdigest()[:10]}.parquet"
+    if not _os.path.exists(_os.path.join(apath, "_SUCCESS")):
+        nearest_centroid(emb, cents).select("vec_id", "centroid_id").write.mode(
+            "overwrite"
+        ).partitionBy("centroid_id").parquet(apath)
+    assignments = spark.read.parquet(apath)
+    return ivf_topk(
+        emb, cents, rows[7], k=10, n_probe=2, assignments=assignments
+    )
+
+
 def _srp_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
     out = []
     for p in range(n_planes):
@@ -965,9 +1031,15 @@ def q34(spark, sf):
     )
 
 
+def _null_addr_sql() -> str:
+    from ethereum_etl_spark.operators.balances import NULL_ADDRESSES
+
+    return ", ".join(f"'{a}'" for a in NULL_ADDRESSES)
+
+
 @_q(
     "q35_token_balances_cumsum",
-    """
+    f"""
     WITH legs AS (
       SELECT '0x' || lpad(lower(to_hex(l_partkey)), 40, '0') AS token_address,
              '0x' || lpad(lower(to_hex(l_suppkey)), 40, '0') AS holder_address,
@@ -981,13 +1053,12 @@ def q34(spark, sf):
     per_block AS (
       SELECT token_address, holder_address, block_number, sum(delta) AS d
       FROM legs
-      -- mint/burn legs on the NULL-address set are skipped (P18); orderkey
-      -- 57005 = 0xdead lands on the burn address, exercising the rule
-      WHERE holder_address NOT IN (
-        '0x0000000000000000000000000000000000000000',
-        '0x000000000000000000000000000000000000dead',
-        '0xdead000000000000000000000000000000000000',
-        '0xffffffffffffffffffffffffffffffffffffffff')
+      -- mint/burn legs on the full reference NULL-address set are skipped
+      -- (P18, misc/info.py:5-31; the list below is generated from
+      -- operators.balances.NULL_ADDRESSES): suppkeys 1-9 land on the
+      -- precompile addresses and orderkey 57005 = 0xdead on the burn
+      -- address, exercising the rule
+      WHERE holder_address NOT IN ({_null_addr_sql()})
       GROUP BY 1, 2, 3)
     SELECT token_address, holder_address, block_number,
            CAST(sum(d) OVER (PARTITION BY token_address, holder_address
@@ -1172,4 +1243,410 @@ def q33(spark, sf):
         wal.withColumn("rn", F.row_number().over(w))
         .filter("rn = 1")
         .select("repo", "path", "commit", "lang", F.sha2("content", 256).alias("content_sha"))
+    )
+
+
+@_q(
+    "q38_uniswap_v3_trades",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             '0x' || lpad(lower(to_hex(o_orderkey % 40)), 40, '0') AS pool_address,
+             md5(CAST(o_orderkey AS VARCHAR)) AS tx,
+             o_custkey AS a0,
+             CAST(floor(o_totalprice) AS BIGINT) * 1000000000000 AS a1mag,
+             (o_orderkey % 900000 + 100000)::DOUBLE AS m
+      FROM orders WHERE o_orderkey <= 4096)
+    SELECT pool_address, tx AS transaction_hash, o_orderkey AS block_number,
+           'swap' AS event_type,
+           round(a0 / 1000000.0, 6) AS amount0,
+           round(-a1mag / 1e18, 6) + 0.0 AS amount1,
+           round((m * m) / 1e12, 6) AS price0,
+           round(1e12 / (m * m), 6) AS price1,
+           round((2000 + o_orderkey % 40)::DOUBLE, 6) AS reserve0,
+           round((7000 + o_orderkey % 40)::DOUBLE, 6) AS reserve1
+    FROM base
+    """,
+)
+def q38(spark, sf):
+    """Uniswap-V3 trade assembly: Swap logs with SIGNED int256 amounts (the
+    out-token is a two's-complement negative — exercises the signed ABI
+    decode end-to-end) and sqrtPriceX96 price math; reserves come from an
+    as-of join against a pool-balance table (the lake rendering of the
+    reference's balanceOf point calls). sqrtPriceX96 is fabricated as
+    m·2^96 so price0 = (sqrtp²/2¹⁹²)/(s1/s0) = m²/10¹² exactly — the oracle
+    recomputes it arithmetically."""
+    from decimal import Decimal
+
+    from ethereum_etl_spark.operators.dex import (
+        POOL_DDL,
+        TOKEN_DIM_DDL,
+        UNISWAP_V3_ABIS,
+        extract_dex_trades_v3,
+    )
+    from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
+
+    SWAP = UNISWAP_V3_ABIS[0]
+    o = ld(spark, sf, "orders").filter("o_orderkey <= 4096")
+    pool = F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(F.col("o_orderkey") % 40)), 40, "0"))
+    wallet_w = F.lpad(F.lit("ab" * 20), 64, "0")
+
+    def w64(c):
+        return F.lpad(F.lower(F.hex(c.cast("long"))), 64, "0")
+
+    # two's-complement 256-bit encoding of -v: NOT(word64(v-1)) via digit
+    # translate — no 256-bit arithmetic needed
+    def w64_neg(c):
+        return F.translate(w64(c - 1), "0123456789abcdef", "fedcba9876543210")
+
+    m = (F.col("o_orderkey") % 900000 + 100000).cast("long")
+    sqrtp_word = F.lpad(F.concat(F.lower(F.hex(m)), F.lit("0" * 24)), 64, "0")
+    a1mag = F.col("o_totalprice").cast("long") * F.lit(1_000_000_000_000)
+    swap_logs = o.select(
+        F.lit(1).alias("log_index"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("transaction_hash"),
+        F.lit(0).alias("transaction_index"),
+        F.lit("0xb").alias("block_hash"),
+        F.col("o_orderkey").alias("block_number"),
+        pool.alias("address"),
+        F.concat(
+            F.lit("0x"),
+            w64(F.col("o_custkey")),        # amount0 (positive int256)
+            w64_neg(a1mag),                 # amount1 (negative int256)
+            sqrtp_word,                     # sqrtPriceX96 = m * 2^96
+            w64(F.lit(1)),                  # liquidity
+            w64(F.lit(0)),                  # tick
+        ).alias("data"),
+        F.array(
+            F.lit(SWAP.topic0),
+            F.concat(F.lit("0x"), wallet_w),
+            F.concat(F.lit("0x"), wallet_w),
+        ).alias("topics"),
+    )
+    inv = build_inventory(spark, UNISWAP_V3_ABIS)
+    parsed = parse_logs(swap_logs, inv, UNISWAP_V3_ABIS)
+    pools = spark.createDataFrame(
+        [
+            (f"0x{i:040x}", "0xfac", ["0x" + "2" * 40, "0x" + "3" * 40], 3000, [])
+            for i in range(40)
+        ],
+        POOL_DDL,
+    )
+    tokens = spark.createDataFrame(
+        [("0x" + "2" * 40, "AAA", 6), ("0x" + "3" * 40, "BBB", 18)], TOKEN_DIM_DDL
+    )
+    pool_balances = spark.range(40).select(
+        F.concat(F.lit("0x"), F.lpad(F.lower(F.hex("id")), 40, "0")).alias("holder_address"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("0x" + "2" * 40).alias("token_address"),
+                    ((F.col("id") + 2000) * F.lit(1_000_000)).cast("decimal(38,0)").alias("value"),
+                ),
+                F.struct(
+                    F.lit("0x" + "3" * 40).alias("token_address"),
+                    (
+                        (F.col("id") + 7000).cast("decimal(38,0)")
+                        * F.lit(10**18).cast("decimal(38,0)")
+                    ).cast("decimal(38,0)").alias("value"),
+                ),
+            )
+        ).alias("b"),
+        F.lit(0).cast("long").alias("block_number"),
+    ).select("holder_address", "b.token_address", "b.value", "block_number")
+    t = extract_dex_trades_v3(parsed, pools, tokens, pool_balances=pool_balances)
+    return t.select(
+        "pool_address",
+        "transaction_hash",
+        "block_number",
+        "event_type",
+        F.round(F.element_at("token_amounts", 1), 6).alias("amount0"),
+        (F.round(F.element_at("token_amounts", 2), 6) + F.lit(0.0)).alias("amount1"),
+        F.round(F.element_at("token_prices", 1), 6).alias("price0"),
+        F.round(F.element_at("token_prices", 2), 6).alias("price1"),
+        F.round(F.element_at("token_reserves", 1), 6).alias("reserve0"),
+        F.round(F.element_at("token_reserves", 2), 6).alias("reserve1"),
+    )
+
+
+@_q(
+    "q41_pool_discovery",
+    """
+    WITH s AS (SELECT s_suppkey AS k FROM supplier),
+    v2 AS (
+      SELECT '0x' || lpad(lower(to_hex(k * 2 + 1)), 40, '0') AS address,
+             '0x' || lpad('fac2', 40, '0') AS factory_address,
+             '0x' || lpad(lower(to_hex(k)), 40, '0') AS token0,
+             '0x' || lpad(lower(to_hex(k + 1)), 40, '0') AS token1,
+             3000 AS fee, 'uniswap_v2' AS amm, k AS block_number
+      FROM s WHERE k % 2 = 0),
+    v3 AS (
+      SELECT '0x' || lpad(lower(to_hex(k * 2 + 1)), 40, '0') AS address,
+             '0x' || lpad('fac3', 40, '0') AS factory_address,
+             '0x' || lpad(lower(to_hex(k)), 40, '0') AS token0,
+             '0x' || lpad(lower(to_hex(k + 1)), 40, '0') AS token1,
+             CASE k % 3 WHEN 0 THEN 500 WHEN 1 THEN 3000 ELSE 10000 END AS fee,
+             'uniswap_v3' AS amm, k AS block_number
+      FROM s WHERE k % 2 = 1)
+    SELECT address, factory_address, token0, token1, fee, amm, block_number
+    FROM v2 UNION ALL SELECT * FROM v3
+    """,
+)
+def q41(spark, sf):
+    """Pool-discovery dimension from factory create events: PairCreated (v2)
+    and PoolCreated (v3) logs fabricated from supplier keys, parsed via the
+    factory event inventory, then derived into EthDexPool rows — the dex
+    pipeline bootstraps its pools dimension from the log stream instead of
+    being handed one."""
+    from ethereum_etl_spark.operators.dex import FACTORY_ABIS, discover_pools
+    from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
+
+    PAIR, POOL = FACTORY_ABIS[0], FACTORY_ABIS[1]
+    s = ld(spark, sf, "supplier").select(F.col("s_suppkey").alias("k"))
+
+    def aw(c):  # address word from key-derived address
+        return F.lpad(F.lower(F.hex(c)), 64, "0")
+
+    common = [
+        F.lit(0).alias("log_index"),
+        F.md5(F.col("k").cast("string")).alias("transaction_hash"),
+        F.lit(0).alias("transaction_index"),
+        F.lit("0xb").alias("block_hash"),
+        F.col("k").alias("block_number"),
+    ]
+    v2_logs = s.filter("k % 2 = 0").select(
+        *common,
+        F.concat(F.lit("0x"), F.lpad(F.lit("fac2"), 40, "0")).alias("address"),
+        F.concat(
+            F.lit("0x"), aw(F.col("k") * 2 + 1), aw(F.lit(7))
+        ).alias("data"),  # pair word + running-index word
+        F.array(
+            F.lit(PAIR.topic0),
+            F.concat(F.lit("0x"), aw(F.col("k"))),
+            F.concat(F.lit("0x"), aw(F.col("k") + 1)),
+        ).alias("topics"),
+    )
+    fee = (
+        F.when(F.col("k") % 3 == 0, 500)
+        .when(F.col("k") % 3 == 1, 3000)
+        .otherwise(10000)
+    )
+    v3_logs = s.filter("k % 2 = 1").select(
+        *common,
+        F.concat(F.lit("0x"), F.lpad(F.lit("fac3"), 40, "0")).alias("address"),
+        F.concat(
+            F.lit("0x"), aw(F.lit(60)), aw(F.col("k") * 2 + 1)
+        ).alias("data"),  # tickSpacing word + pool word
+        F.array(
+            F.lit(POOL.topic0),
+            F.concat(F.lit("0x"), aw(F.col("k"))),
+            F.concat(F.lit("0x"), aw(F.col("k") + 1)),
+            F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(fee)), 64, "0")),
+        ).alias("topics"),
+    )
+    logs = v2_logs.unionByName(v3_logs)
+    inv = build_inventory(spark, FACTORY_ABIS)
+    parsed = parse_logs(logs, inv, FACTORY_ABIS)
+    pools = discover_pools(parsed)
+    return pools.select(
+        "address",
+        "factory_address",
+        F.element_at("token_addresses", 1).alias("token0"),
+        F.element_at("token_addresses", 2).alias("token1"),
+        "fee",
+        "amm",
+        "block_number",
+    )
+
+
+@_q(
+    "q39_priced_trades",
+    """
+    WITH pairs AS (
+      SELECT o_orderkey,
+             '0x' || lpad(lower(to_hex(o_orderkey % 50)), 40, '0') AS pool_address,
+             md5(CAST(o_orderkey AS VARCHAR)) AS tx,
+             CAST(o_custkey AS DOUBLE) AS a0in,
+             CAST(CAST(o_totalprice AS BIGINT) AS DOUBLE) AS a1out,
+             CAST(1000 + o_orderkey % 97 AS DOUBLE) AS r0,
+             CAST(5000 + o_orderkey % 89 AS DOUBLE) AS r1
+      FROM orders WHERE o_orderkey <= 4096),
+    trades AS (
+      -- both tokens use 6 decimals here: price magnitudes stay O(1), where
+      -- DuckDB's float-based round(x, 6) and Spark's BigDecimal round agree
+      -- bit-for-bit (at 1e11 magnitudes they differ by an ulp)
+      SELECT pool_address, tx, o_orderkey AS bn, 1 AS li,
+             a0in / 1000000.0 AS amount0,
+             -a1out / 1000000.0 AS amount1,
+             (r1 / 1000000.0) / (r0 / 1000000.0) AS price0,
+             (r0 / 1000000.0) / (r1 / 1000000.0) AS price1
+      FROM pairs),
+    -- token0 ('0x22…') is the stablecoin: every trade emits a mark for
+    -- token1 at price1 (stable units per token1); as-of = latest mark with
+    -- (bn, li) <= the trade's own (inclusive — a trade prices itself)
+    marked AS (
+      SELECT *, last_value(CASE WHEN price1 > 0 THEN price1 END IGNORE NULLS)
+                OVER (ORDER BY bn, li
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p1_asof
+      FROM trades)
+    SELECT pool_address, tx AS transaction_hash, bn AS block_number,
+           round(1.0, 6) AS price_stable0,
+           round(coalesce(p1_asof, 0.0), 6) AS price_stable1,
+           round(abs(amount0) * 1.0, 6) AS amount_stable
+    FROM marked
+    """,
+)
+def q39(spark, sf):
+    """USD pricing of trades (PriceService analog): v2 swaps on pools whose
+    token0 is a stablecoin; every trade anchors a stable-price mark for
+    token1, each trade takes the as-of mark, and amount_stable = the
+    stablecoin leg's absolute amount. Mirrors q37's fabrication so the
+    oracle can replay the mark/as-of logic in one SQL window."""
+    from ethereum_etl_spark.operators.dex import (
+        POOL_DDL,
+        TOKEN_DIM_DDL,
+        UNISWAP_V2_ABIS,
+        extract_dex_trades,
+    )
+    from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
+    from ethereum_etl_spark.operators.pricing import enrich_trades_usd
+
+    SWAP, SYNC = UNISWAP_V2_ABIS[0], UNISWAP_V2_ABIS[1]
+    o = ld(spark, sf, "orders").filter("o_orderkey <= 4096")
+    pool = F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(F.col("o_orderkey") % 50)), 40, "0"))
+    wallet_w = F.lpad(F.lit("ab" * 20), 64, "0")
+
+    def w64(c):
+        return F.lpad(F.lower(F.hex(c.cast("long"))), 64, "0")
+
+    base = o.select(
+        F.col("o_orderkey").alias("block_number"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("transaction_hash"),
+        pool.alias("address"),
+        F.col("o_custkey"),
+        F.col("o_totalprice"),
+    )
+    sync_logs = base.select(
+        F.lit(0).alias("log_index"), "transaction_hash",
+        F.lit(0).alias("transaction_index"), F.lit("0xb").alias("block_hash"),
+        "block_number", "address",
+        F.concat(
+            F.lit("0x"),
+            w64(F.lit(1000) + F.col("block_number") % 97),
+            w64(F.lit(5000) + F.col("block_number") % 89),
+        ).alias("data"),
+        F.array(F.lit(SYNC.topic0)).alias("topics"),
+    )
+    swap_logs = base.select(
+        F.lit(1).alias("log_index"), "transaction_hash",
+        F.lit(0).alias("transaction_index"), F.lit("0xb").alias("block_hash"),
+        "block_number", "address",
+        F.concat(
+            F.lit("0x"), w64(F.col("o_custkey")), w64(F.lit(0)),
+            w64(F.lit(0)), w64(F.col("o_totalprice").cast("long")),
+        ).alias("data"),
+        F.array(
+            F.lit(SWAP.topic0), F.concat(F.lit("0x"), wallet_w), F.concat(F.lit("0x"), wallet_w)
+        ).alias("topics"),
+    )
+    logs = sync_logs.unionByName(swap_logs)
+    inv = build_inventory(spark, UNISWAP_V2_ABIS)
+    parsed = parse_logs(logs, inv, UNISWAP_V2_ABIS)
+    pools = spark.createDataFrame(
+        [
+            (f"0x{i % 50:040x}", "0xfac", ["0x" + "2" * 40, "0x" + "3" * 40], 3000, [])
+            for i in range(50)
+        ],
+        POOL_DDL,
+    )
+    tokens = spark.createDataFrame(
+        [("0x" + "2" * 40, "AAA", 6), ("0x" + "3" * 40, "BBB", 6)], TOKEN_DIM_DDL
+    )
+    trades = extract_dex_trades(parsed, pools, tokens)
+    priced = enrich_trades_usd(trades, stablecoins=["0x" + "2" * 40])
+    return priced.select(
+        "pool_address",
+        "transaction_hash",
+        "block_number",
+        F.round(F.element_at("prices_stable", 1), 6).alias("price_stable0"),
+        F.round(F.element_at("prices_stable", 2), 6).alias("price_stable1"),
+        F.round(F.col("amount_stable"), 6).alias("amount_stable"),
+    )
+
+
+@_q(
+    "q42_priced_transfers",
+    """
+    WITH tr AS (
+      SELECT md5(l_orderkey || ':' || l_linenumber) AS tx,
+             l_linenumber AS li, l_orderkey AS bn,
+             '0x' || lpad(lower(to_hex(l_partkey % 16)), 40, '0') AS token,
+             (l_partkey % 16) % 3 AS d,
+             CAST(l_quantity AS BIGINT) AS value
+      FROM lineitem),
+    mk AS (
+      SELECT '0x' || lpad(lower(to_hex(o_custkey % 16)), 40, '0') AS token,
+             o_orderkey AS bn, 0 AS li,
+             (o_orderkey % 997 + 1) / 100.0 AS price
+      FROM orders),
+    u AS (
+      SELECT token, bn, li, 0 AS probe, price,
+             CAST(NULL AS VARCHAR) AS tx, CAST(NULL AS BIGINT) AS value,
+             CAST(NULL AS BIGINT) AS d
+      FROM mk
+      UNION ALL
+      SELECT token, bn, li, 1, CAST(NULL AS DOUBLE), tx, value, d FROM tr),
+    w AS (
+      SELECT *, last_value(price IGNORE NULLS) OVER (
+                 PARTITION BY token ORDER BY bn, li, probe
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_asof
+      FROM u)
+    SELECT tx AS transaction_hash, li AS log_index, bn AS block_number,
+           token AS token_address,
+           round(value / power(10, d), 6) AS amount,
+           round(CASE WHEN token = '0x' || lpad('', 40, '0') THEN 1.0
+                      ELSE coalesce(p_asof, 0.0) END, 6) AS price_stable,
+           round((value / power(10, d)) *
+                 CASE WHEN token = '0x' || lpad('', 40, '0') THEN 1.0
+                      ELSE coalesce(p_asof, 0.0) END, 6) AS value_stable
+    FROM w WHERE probe = 1
+    """,
+)
+def q42(spark, sf):
+    """Priced token transfers (extract_token_transfers_priced analog):
+    transfers fabricated from lineitem, a stable-price mark stream from
+    orders, as-of attach per (token, block, log_index), value_stable =
+    value/10^decimals × price. Token 0x0 plays the stablecoin (price 1.0)."""
+    from ethereum_etl_spark.operators.pricing import priced_token_transfers
+
+    li = ld(spark, sf, "lineitem")
+    tok16 = F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(F.col("l_partkey") % 16)), 40, "0"))
+    transfers = li.select(
+        F.md5(F.concat_ws(":", "l_orderkey", "l_linenumber")).alias("transaction_hash"),
+        F.col("l_linenumber").cast("int").alias("log_index"),
+        F.col("l_orderkey").alias("block_number"),
+        tok16.alias("token_address"),
+        F.col("l_quantity").cast("decimal(38,0)").alias("value"),
+    )
+    tokens = spark.range(16).select(
+        F.concat(F.lit("0x"), F.lpad(F.lower(F.hex("id")), 40, "0")).alias("address"),
+        (F.col("id") % 3).cast("int").alias("decimals"),
+    )
+    o = ld(spark, sf, "orders")
+    marks = o.select(
+        F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(F.col("o_custkey") % 16)), 40, "0")).alias("token_address"),
+        F.col("o_orderkey").alias("block_number"),
+        F.lit(0).alias("log_index"),
+        ((F.col("o_orderkey") % 997 + 1) / 100.0).alias("price_stable"),
+    )
+    stable = "0x" + "0" * 40
+    out = priced_token_transfers(transfers, tokens, marks, stablecoins=[stable])
+    return out.select(
+        "transaction_hash",
+        "log_index",
+        "block_number",
+        "token_address",
+        F.round("amount", 6).alias("amount"),
+        F.round("price_stable", 6).alias("price_stable"),
+        F.round("value_stable", 6).alias("value_stable"),
     )

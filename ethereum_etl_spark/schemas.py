@@ -26,6 +26,7 @@ from pyspark.sql.types import (
     ArrayType,
     BooleanType,
     DecimalType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -198,6 +199,33 @@ NATIVE_BALANCE_SCHEMA = StructType([
     _f("value", U256),
 ])
 
+# dex dimension + fact streams (domain/dex_pool.py:25-32,
+# domain/dex_trade.py:7-44; warehouse keys schema.sql:63-88,474-483)
+DEX_POOL_SCHEMA = StructType([
+    _f("address", StringType(), False),
+    _f("factory_address", StringType()),
+    _f("token_addresses", ArrayType(StringType())),
+    _f("fee", IntegerType()),
+    _f("lp_token_addresses", ArrayType(StringType())),
+    _f("amm", StringType()),
+    _f("block_number", LongType()),
+])
+
+DEX_TRADE_SCHEMA = StructType([
+    _f("block_number", LongType(), False),
+    _f("transaction_hash", StringType(), False),
+    _f("log_index", IntegerType(), False),
+    _f("pool_address", StringType()),
+    _f("event_type", StringType()),
+    _f("token_amounts", ArrayType(DoubleType())),
+    _f("token_reserves", ArrayType(DoubleType())),
+    _f("token_prices", ArrayType(DoubleType())),
+    _f("token_addresses", ArrayType(StringType())),
+    _f("factory_address", StringType()),
+    _f("wallet_address", StringType()),
+    _f("amm", StringType()),
+])
+
 ERROR_SCHEMA = StructType([
     _f("timestamp", LongType(), False),
     _f("kind", StringType(), False),
@@ -217,6 +245,8 @@ ENTITY_SCHEMAS: dict[str, StructType] = {
     "token": TOKEN_SCHEMA,
     "token_balance": TOKEN_BALANCE_SCHEMA,
     "native_balance": NATIVE_BALANCE_SCHEMA,
+    "dex_pool": DEX_POOL_SCHEMA,
+    "dex_trade": DEX_TRADE_SCHEMA,
     "error": ERROR_SCHEMA,
 }
 
@@ -236,6 +266,8 @@ ENTITY_KEYS: dict[str, list[str]] = {
     "token": ["address"],
     "token_balance": ["block_number", "token_address", "holder_address", "token_id"],
     "native_balance": ["block_number", "address"],
+    "dex_pool": ["address"],
+    "dex_trade": ["block_number", "transaction_hash", "log_index"],
     "error": ["timestamp", "kind"],
 }
 
@@ -254,6 +286,8 @@ ITEM_ID_FIELDS: dict[str, list[str]] = {
     "token": ["address"],
     "token_balance": ["block_number", "token_address", "holder_address", "token_id"],
     "native_balance": ["block_number", "address"],
+    "dex_pool": ["address"],
+    "dex_trade": ["transaction_hash", "log_index"],
     "error": ["timestamp", "kind"],
 }
 
@@ -272,6 +306,8 @@ SORT_BY_FIELDS: dict[str, list[str]] = {
     "token": ["block_number", "address"],
     "token_balance": ["block_number", "token_address", "holder_address"],
     "native_balance": ["block_number", "address"],
+    "dex_pool": ["block_number", "address"],
+    "dex_trade": ["block_number", "log_index"],
     "error": ["timestamp"],
 }
 

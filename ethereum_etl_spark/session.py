@@ -53,6 +53,11 @@ def get_spark(
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16777216")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
+        # decode(unhex(...), 'UTF-8') on malformed bytes THROWS under Spark 4
+        # defaults — one garbage dynamic-string ABI param would poison a
+        # whole batch. REPLACE semantics (U+FFFD) keep the row; documented
+        # divergence from the reference, which skips the entire log row.
+        .config("spark.sql.legacy.codingErrorAction", "true")
         # concurrent per-entity MERGE jobs: FAIR scheduling keeps small
         # stages from queueing behind large ones (event-log profiling showed
         # 3s stalls on near-empty stages under FIFO)

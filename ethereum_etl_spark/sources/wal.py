@@ -71,6 +71,11 @@ class ChainWalSpec:
     # B + reorg_lag — a reorg is detected a confirmation depth later and
     # lands INSIDE ongoing traffic, not as a degenerate tail batch
     reorg_lag: int = 50
+    # opt-in DEX traffic: factory PairCreated logs (pool discovery) early in
+    # the chain, then per-block Sync+Swap pairs on those pools — drives the
+    # streamer's dex_pools/dex_trades entities. Off by default so the
+    # non-dex entity counts stay stable.
+    dex_pools: int = 0
 
 
 def _blocks_df(spark: SparkSession, spec: ChainWalSpec, fork_of: DataFrame | None = None):
@@ -250,15 +255,91 @@ def _geth_trace_df(spec: "ChainWalSpec", txs: DataFrame):
     )
 
 
+DEX_STABLE = "0x" + "22" * 20  # token0 of every generated pool (stablecoin)
+
+
+def _dex_log_df(spark: SparkSession, spec: "ChainWalSpec", txs: DataFrame):
+    """Opt-in DEX traffic as extra log rows: PairCreated (pool p at block p)
+    + per-block Sync/Swap on pool (block % dex_pools). Log indexes start at
+    100 so they never collide with the transfer logs."""
+    from ethereum_etl_spark.operators.dex import FACTORY_ABIS, UNISWAP_V2_ABIS
+
+    PAIR, SWAP, SYNC = FACTORY_ABIS[0], UNISWAP_V2_ABIS[0], UNISWAP_V2_ABIS[1]
+    tx0 = txs.filter(F.col("transaction_index") == 0).select(
+        F.col("hash").alias("transaction_hash"),
+        F.col("block_hash"),
+        F.col("block_number"),
+    )
+    n = F.col("block_number")
+
+    def w64(c):
+        return F.lpad(F.lower(F.hex(c.cast("long"))), 64, "0")
+
+    pool_addr = lambda k: _addr("dexpool", k)  # noqa: E731
+    tok1 = lambda k: _addr("dtok", k)  # noqa: E731
+
+    created = tx0.filter(n < spec.dex_pools).select(
+        F.lit(100).alias("log_index"),
+        "transaction_hash",
+        F.lit(0).alias("transaction_index"),
+        "block_hash",
+        "block_number",
+        _addr("dexfactory", F.lit(0)).alias("address"),
+        F.concat(F.lit("0x"), _addr_word(pool_addr(n)), w64(n)).alias("data"),
+        F.array(
+            F.lit(PAIR.topic0),
+            F.concat(F.lit("0x"), _addr_word(F.lit(DEX_STABLE))),
+            F.concat(F.lit("0x"), _addr_word(tok1(n))),
+        ).alias("topics"),
+    )
+    active = tx0.filter(n >= spec.dex_pools)
+    pid = n % spec.dex_pools
+    sync = active.select(
+        F.lit(100).alias("log_index"),
+        "transaction_hash",
+        F.lit(0).alias("transaction_index"),
+        "block_hash",
+        "block_number",
+        pool_addr(pid).alias("address"),
+        F.concat(
+            F.lit("0x"), w64((F.lit(1000) + n % 97) * 1_000_000), w64(F.lit(5000) + n % 89)
+        ).alias("data"),
+        F.array(F.lit(SYNC.topic0)).alias("topics"),
+    )
+    swap = active.select(
+        F.lit(101).alias("log_index"),
+        "transaction_hash",
+        F.lit(0).alias("transaction_index"),
+        "block_hash",
+        "block_number",
+        pool_addr(pid).alias("address"),
+        F.concat(
+            F.lit("0x"),
+            w64((n % 50 + 1) * 1_000_000),  # amount0In (stable, 6 decimals)
+            w64(F.lit(0)),
+            w64(F.lit(0)),
+            w64(n % 30 + 1),                # amount1Out
+        ).alias("data"),
+        F.array(
+            F.lit(SWAP.topic0),
+            F.concat(F.lit("0x"), _addr_word(_addr("wallet", n % 19))),
+            F.concat(F.lit("0x"), _addr_word(_addr("wallet", (n + 1) % 19))),
+        ).alias("topics"),
+    )
+    return created.unionByName(sync).unionByName(swap)
+
+
 def _token_df(spark: SparkSession, spec: "ChainWalSpec"):
     """Token metadata dimension events (S9 analog: the eth_call
     symbol/name/decimals fetch becomes a dimension stream; ~10% rows with
-    missing metadata per docs/limitations.md:6-8)."""
+    missing metadata per docs/limitations.md:6-8). With dex traffic enabled,
+    the dex stablecoin (6 decimals) and per-pool tokens (18) are part of the
+    dimension too."""
     r = spark.range(0, 38).withColumnRenamed("id", "k")
     k = F.col("k")
     addr = F.when(k == 37, F.lit(HOT_TOKEN)).otherwise(_addr("token", k % 37))
     missing = k % 10 == 3
-    return r.select(
+    base = r.select(
         addr.alias("address"),
         F.when(missing, F.lit(None)).otherwise(F.concat(F.lit("TK"), k.cast("string"))).alias("symbol"),
         F.when(missing, F.lit(None)).otherwise(F.concat(F.lit("Token "), k.cast("string"))).alias("name"),
@@ -267,6 +348,20 @@ def _token_df(spark: SparkSession, spec: "ChainWalSpec"):
         k.alias("block_number"),
         _h("blk", F.lit(spec.seed), k).alias("block_hash"),
     )
+    if spec.dex_pools <= 0:
+        return base
+    d = spark.range(0, spec.dex_pools + 1).withColumnRenamed("id", "k")
+    dk = F.col("k")
+    dex_tokens = d.select(
+        F.when(dk == 0, F.lit(DEX_STABLE)).otherwise(_addr("dtok", dk - 1)).alias("address"),
+        F.when(dk == 0, F.lit("USDS")).otherwise(F.concat(F.lit("DT"), dk.cast("string"))).alias("symbol"),
+        F.when(dk == 0, F.lit("Stable")).otherwise(F.concat(F.lit("DexTok "), dk.cast("string"))).alias("name"),
+        F.when(dk == 0, F.lit(6)).otherwise(F.lit(18)).cast("int").alias("decimals"),
+        F.lit(10**9).cast("string").alias("total_supply"),
+        dk.alias("block_number"),
+        _h("blk", F.lit(spec.seed), dk).alias("block_hash"),
+    )
+    return base.unionByName(dex_tokens)
 
 
 def _envelope(
@@ -299,6 +394,8 @@ def generate_chain_wal(spark: SparkSession, spec: ChainWalSpec) -> DataFrame:
     txs = _tx_df(spark, spec, blocks)
     receipts = _receipt_df(spec, txs)
     logs = _log_df(spec, txs)
+    if spec.dex_pools > 0:
+        logs = logs.unionByName(_dex_log_df(spark, spec, txs))
     geth = _geth_trace_df(spec, txs)
     tokens = _token_df(spark, spec)
     parts = [
@@ -315,6 +412,10 @@ def generate_chain_wal(spark: SparkSession, spec: ChainWalSpec) -> DataFrame:
         fork_txs = _tx_df(spark, spec, fork_blocks)
         fork_receipts = _receipt_df(spec, fork_txs)
         fork_logs = _log_df(spec, fork_txs)
+        if spec.dex_pools > 0:
+            # the fork chain carries dex traffic too (fork tx hashes differ,
+            # so the re-emitted swaps are genuinely different trades)
+            fork_logs = fork_logs.unionByName(_dex_log_df(spark, spec, fork_txs))
         fork_geth = _geth_trace_df(spec, fork_txs)
         # reorg rows enter the stream a confirmation depth later
         parts += [

@@ -174,6 +174,10 @@ class ChainStreamer:
             tbl("native_balances", ENTITY_SCHEMAS["native_balance"], ENTITY_KEYS["native_balance"])
             tbl("native_balances_latest", ENTITY_SCHEMAS["native_balance"], ["address"],
                 psize=10**15, stamped=False)
+        if "dex_pool" in want:
+            tbl("dex_pools", ENTITY_SCHEMAS["dex_pool"], ENTITY_KEYS["dex_pool"])
+        if "dex_trade" in want:
+            tbl("dex_trades", ENTITY_SCHEMAS["dex_trade"], ENTITY_KEYS["dex_trade"])
         if self.cfg.projections:
             if "log" in want:
                 # re-keyed copy: lookups by emitting contract address
@@ -229,9 +233,10 @@ class ChainStreamer:
         )
         from ethereum_etl_spark.operators.contracts import extract_contracts
         from ethereum_etl_spark.operators.traces import (
+            INTERNAL_COLS,
             assign_trace_index,
-            extract_internal_transfers,
             flatten_geth_traces,
+            internal_transfers_from_frames,
         )
 
         out: dict[str, dict] = {}
@@ -259,19 +264,26 @@ class ChainStreamer:
         flat_frames = None
         if "geth_trace" in want:
             add("geth_traces", stamp(get("geth_trace"), "geth_trace"))
-        if "trace" in want or "contract" in want:
-            # ONE tree-flatten pass shared by traces and contracts (the
-            # mapInPandas walk is the costliest Python stage in the cycle)
-            flat_frames = flatten_geth_traces(get("geth_trace")).cache()
+        if "trace" in want or "contract" in want or "internal_transfer" in want:
+            # ONE tree-flatten pass shared by traces, contracts AND internal
+            # transfers (the mapInPandas walk is the costliest Python stage
+            # in the cycle; it used to run a second time for internal
+            # transfers)
+            flat_frames = flatten_geth_traces(
+                get("geth_trace"), include_internal="internal_transfer" in want
+            ).cache()
             if aux_cache is not None:
                 aux_cache.append(flat_frames)
+        trace_frames = (
+            flat_frames.drop(*INTERNAL_COLS) if flat_frames is not None else None
+        )
         if "trace" in want:
-            add("traces", stamp(assign_trace_index(flat_frames), "trace"))
+            add("traces", stamp(assign_trace_index(trace_frames), "trace"))
         if "internal_transfer" in want:
-            itr = extract_internal_transfers(get("geth_trace"))
+            itr = internal_transfers_from_frames(flat_frames)
             add("internal_transfers", stamp(itr, "internal_transfer"))
         if "contract" in want:
-            add("contracts", stamp(extract_contracts(frames=flat_frames), "contract"))
+            add("contracts", stamp(extract_contracts(frames=trace_frames), "contract"))
         if "token" in want:
             add("tokens", stamp(get("token"), "token"))
         if self.cfg.projections:
@@ -313,6 +325,55 @@ class ChainStreamer:
                 full_touch=True,
                 stamped=False,
             )
+        dex_pools_batch = None
+        if "dex_pool" in want or "dex_trade" in want:
+            from ethereum_etl_spark.operators.dex import FACTORY_ABIS, discover_pools
+            from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
+
+            factory_inv = build_inventory(self.spark, FACTORY_ABIS)
+            parsed_factory = parse_logs(get("log"), factory_inv, FACTORY_ABIS)
+            dex_pools_batch = discover_pools(parsed_factory)
+        if "dex_pool" in want:
+            add("dex_pools", stamp(dex_pools_batch, "dex_pool"))
+        if "dex_trade" in want:
+            # J6 trade assembly inside the CDC loop. Deferred behind the
+            # dex_pools merge (DEPS): the pools dim is then simply the
+            # COMMITTED table — it already contains pools discovered in this
+            # very batch (a pool's first swap can share a batch with its
+            # PairCreated), and reading post-commit avoids racing that
+            # merge's snapshot GC.
+            from ethereum_etl_spark.operators.dex import UNISWAP_V2_ABIS, extract_dex_trades
+            from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
+
+            batch_pools = dex_pools_batch
+            batch_tokens = get("token") if "token" in want else None
+
+            def _trades():
+                pool_cols = ["address", "factory_address", "token_addresses"]
+                if "dex_pools" in self.tables:
+                    pools_dim = self.tables["dex_pools"].read().select(*pool_cols)
+                else:
+                    pools_dim = batch_pools.select(*pool_cols).dropDuplicates(["address"])
+                tok_cols = ["address", "decimals"]
+                if "tokens" in self.tables:
+                    tokens_dim = self.tables["tokens"].read().select(*tok_cols)
+                elif batch_tokens is not None:
+                    tokens_dim = batch_tokens.select(*tok_cols).dropDuplicates(["address"])
+                else:
+                    tokens_dim = self.spark.createDataFrame([], "address string, decimals int")
+                v2_inv = build_inventory(self.spark, UNISWAP_V2_ABIS)
+                parsed_v2 = parse_logs(get("log"), v2_inv, UNISWAP_V2_ABIS)
+                trades = extract_dex_trades(parsed_v2, pools_dim, tokens_dim)
+                trades = trades.select(
+                    "block_number", "transaction_hash",
+                    F.col("log_index").cast("int").alias("log_index"),
+                    "pool_address", "event_type", "token_amounts",
+                    "token_reserves", "token_prices", "token_addresses",
+                    "factory_address", "wallet_address", "amm",
+                )
+                return stamp(trades, "dex_trade"), {}
+
+            add("dex_trades", None, df_fn=_trades)
         if "candle" in want and token_transfers is not None:
             # deferred: recompute OHLCV for the hour buckets this batch
             # touches, FROM the committed token_transfers table (phase 2 —
@@ -447,7 +508,10 @@ class ChainStreamer:
         aux_cache: list = []
         derived = self._derive(get, aux_cache)
 
+        merge_secs: dict[str, float] = {}
+
         def _merge_one(name: str, spec: dict) -> None:
+            __t0 = time.time()
             # one FAIR-scheduler pool per entity merge: jobs share executor
             # slots round-robin instead of FIFO-queueing behind each other
             self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"merge-{name}")
@@ -486,6 +550,7 @@ class ChainStreamer:
                 touched_range=touched,
                 extra_touched_values=reorg_blocks if block_keyed else None,
             )
+            merge_secs[name] = round(time.time() - __t0, 3)
 
         # per-entity MERGEs are independent (separate tables) → submit
         # concurrently; the Spark scheduler interleaves their stages (the
@@ -496,9 +561,10 @@ class ChainStreamer:
         # cached balance plan materialized by their history merge, which also
         # guards the carry-file GC race).
         DEPS = {
-            "candles_1h": "token_transfers",
-            "token_balances_latest": "token_balances",
-            "native_balances_latest": "native_balances",
+            "candles_1h": ["token_transfers"],
+            "token_balances_latest": ["token_balances"],
+            "native_balances_latest": ["native_balances"],
+            "dex_trades": ["dex_pools", "tokens"],
         }
         if self.cfg.parallel_merges and len(derived) > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -507,11 +573,12 @@ class ChainStreamer:
                 futures: dict[str, object] = {}
 
                 def _submit(name, spec):
-                    dep = DEPS.get(name)
+                    deps = DEPS.get(name, [])
 
                     def task():
-                        if dep is not None and dep in futures:
-                            futures[dep].result()  # wait for upstream commit
+                        for dep in deps:
+                            if dep in futures:
+                                futures[dep].result()  # wait for upstream commit
                         _merge_one(name, spec)
 
                     futures[name] = ex.submit(task)
@@ -529,6 +596,14 @@ class ChainStreamer:
             for name in ordered:
                 _merge_one(name, derived[name])
 
+        if has_reorg and reorg_blocks:
+            # balances are running sums — a reorg invalidates every row of an
+            # affected key from the reorged block forward (the carry-in had
+            # already absorbed the orphaned deltas). Recompute those keys
+            # from the now-committed transfer/transaction tables (the same
+            # deferred-recompute pattern candles use).
+            self._reorg_fix_balances(reorg_blocks, hi_bn, batch_id)
+
         if self.cfg.collect_errors:
             self._append_decode_errors(batch, batch_id)
 
@@ -541,7 +616,174 @@ class ChainStreamer:
             "lo_block": lo_bn,
             "hi_block": hi_bn,
             "n_events": int(stats["n_events"]),
+            "merge_secs": merge_secs,
         }
+
+    # ---------- reorg balance repair ----------
+
+    def _ns_join(self, left, right, cols: list[str], how: str):
+        """Join on null-safe key equality (token_id is NULL for ERC-20)."""
+        r = right.select(*[F.col(c).alias(f"__r_{c}") for c in cols]).distinct()
+        cond = None
+        for c in cols:
+            eq = left[c].eqNullSafe(F.col(f"__r_{c}"))
+            cond = eq if cond is None else cond & eq
+        out = left.join(F.broadcast(r), on=cond, how=how)
+        return out.drop(*[f"__r_{c}" for c in cols]) if how == "inner" else out
+
+    def _reorg_fix_balances(self, reorg_blocks: list[int], hi_bn: int, batch_id: str) -> None:
+        """Repair balance tables after a reorg (ADVICE r1: the carry-in from
+        the latest-balance table already contained the orphaned blocks'
+        deltas, so the phase-1 incremental merge leaves every affected key
+        poisoned from the reorged block forward — including history rows
+        committed by the batches between the orphaned block and the fork's
+        arrival reorg_lag later).
+
+        Method, per balance family:
+        1. affected keys = keys with a history row AT a reorged block (every
+           key touched by an orphaned or fork transfer has one — balances are
+           written at every touched block). Read post-merge, so this is also
+           crash-replay-safe: no pre-merge snapshot is needed.
+        2. boundary = reorged block rounded down to the lake-partition edge;
+           recompute the running sums for ALL keys active in [boundary, hi]
+           from the committed (reorg-merged) transfers/transactions, carried
+           in from each key's last pre-boundary history row.
+        3. MERGE: delete affected keys' rows in partitions ≥ boundary
+           (null-safe on token_id) and upsert the recomputed rows; rebuild
+           the latest-state projection for those keys the same way (an
+           affected key with every transfer orphaned falls back to its
+           pre-boundary row, or is removed from the projection entirely).
+
+        Cost is bounded by reorg depth + one partition's width, plus a
+        key-semi-joined scan of the pre-boundary history for the carry
+        lookups — reorgs are rare, and the recompute is the same pattern the
+        candles table already uses."""
+        from pyspark.sql.types import StructType
+
+        from ethereum_etl_spark.operators.balances import (
+            latest_token_balances,
+            native_balances_from_transactions,
+            token_balances_from_transfers,
+        )
+
+        min_rb = min(reorg_blocks)
+
+        def fix(hist_name, latest_name, key_cols, range_keys_of, recompute, latest_of):
+            if hist_name not in self.tables or latest_name not in self.tables:
+                return
+            t = self.tables[hist_name]
+            m = t.manifest()
+            boundary = (min_rb // m.partition_size) * m.partition_size
+            affected_rows = (
+                t.read(prune_min=min_rb, prune_max=max(reorg_blocks))
+                .filter(F.col("block_number").isin(reorg_blocks))
+                .select(*key_cols)
+                .distinct()
+                .collect()  # bounded by reorg depth × per-block activity
+            )
+            if not affected_rows:
+                return
+            schema = StructType(
+                [t.manifest().schema[c] for c in key_cols]
+            )
+            akeys = self.spark.createDataFrame(affected_rows, schema)
+            base = None
+            if boundary > 0:
+                # carry-in: last pre-boundary row per key, for keys that are
+                # either active in the recompute range or reorg-affected
+                relevant = range_keys_of(boundary).unionByName(akeys).distinct()
+                pre = self._ns_join(
+                    t.read(prune_max=boundary - 1), relevant, key_cols, "inner"
+                )
+                base = latest_of(pre).cache()
+                base.count()  # materialize: the source snapshot is GC'd below
+            recomputed = recompute(boundary, base).cache()
+            t.merge_upsert(
+                recomputed,
+                batch_id=f"{batch_id}/reorg-fix-{hist_name}",
+                version_col=None,
+                delete_keys=akeys,
+                delete_key_cols=key_cols,
+                touched_range=(boundary, hi_bn),
+            )
+            new_latest = latest_of(recomputed)
+            if base is not None:
+                only_base = self._ns_join(base, new_latest.select(*key_cols), key_cols, "left_anti")
+                new_latest = new_latest.unionByName(only_base)
+            self.tables[latest_name].merge_upsert(
+                new_latest,
+                batch_id=f"{batch_id}/reorg-fix-{latest_name}",
+                version_col=None,
+                delete_keys=akeys,
+                delete_key_cols=key_cols,
+                touched_range=(0, 0),
+            )
+            recomputed.unpersist()
+            if base is not None:
+                base.unpersist()
+
+        if "token_transfers" in self.tables:
+            tt_t = self.tables["token_transfers"]
+
+            def token_range_keys(boundary):
+                from ethereum_etl_spark.operators.balances import token_balance_deltas
+
+                return token_balance_deltas(
+                    tt_t.read(prune_min=boundary, prune_max=hi_bn)
+                ).select("token_address", "holder_address", "token_id").distinct()
+
+            def recompute_token(boundary, base):
+                tt = tt_t.read(prune_min=boundary, prune_max=hi_bn)
+                return stamp(
+                    token_balances_from_transfers(tt, carry_in=base), "token_balance"
+                )
+
+            fix(
+                "token_balances",
+                "token_balances_latest",
+                ["token_address", "holder_address", "token_id"],
+                token_range_keys,
+                recompute_token,
+                latest_token_balances,
+            )
+
+        if "transactions" in self.tables:
+            tx_t = self.tables["transactions"]
+
+            def native_range_keys(boundary):
+                tx = tx_t.read(prune_min=boundary, prune_max=hi_bn)
+                return (
+                    tx.select(F.col("from_address").alias("address"))
+                    .unionByName(tx.select(F.col("to_address").alias("address")))
+                    .filter(F.col("address").isNotNull())
+                    .distinct()
+                )
+
+            def recompute_native(boundary, base):
+                tx = tx_t.read(prune_min=boundary, prune_max=hi_bn)
+                return stamp(
+                    native_balances_from_transactions(tx, carry_in=base),
+                    "native_balance",
+                )
+
+            def latest_native(df):
+                return (
+                    df.groupBy("address")
+                    .agg(
+                        F.max_by("value", F.col("block_number")).alias("value"),
+                        F.max("block_number").alias("block_number"),
+                    )
+                    .select("block_number", "address", "value")
+                )
+
+            fix(
+                "native_balances",
+                "native_balances_latest",
+                ["address"],
+                native_range_keys,
+                recompute_native,
+                latest_native,
+            )
 
     # ---------- dead-letter channel ----------
 

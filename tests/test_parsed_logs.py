@@ -94,3 +94,72 @@ def test_inventory_merge_array_union(spark):
     assert rows["Swap"]["namespace"] == ["sushiswap", "uniswap_v2"]  # sorted distinct union
     assert rows["Sync"]["namespace"] == ["uniswap_v2"]
     assert merged.count() == 2
+
+
+def test_dynamic_and_signed_abi_decode(spark):
+    """Dynamic types (string/bytes/uint256[]) decode from offset+tail words;
+    signed intN decodes two's complement (small → decimal string, huge →
+    '~0x' marker resolved exactly by hex_to_dec38)."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from ethereum_etl_spark.functions.hex import hex_to_dec38
+    from ethereum_etl_spark.operators.parsed_logs import (
+        EventAbi,
+        build_inventory,
+        parse_logs,
+    )
+    from ethereum_etl_spark.schemas import LOG_SCHEMA
+
+    abi = EventAbi(
+        name="Note",
+        inputs=[
+            {"name": "name", "type": "string", "indexed": False},
+            {"name": "blob", "type": "bytes", "indexed": False},
+            {"name": "vals", "type": "uint256[]", "indexed": False},
+            {"name": "delta", "type": "int256", "indexed": False},
+        ],
+        namespace="t",
+        contract_name="t",
+    )
+
+    def w(v: int) -> str:
+        return f"{v:064x}"
+
+    name_hex = "hello world".encode().hex()
+    blob_hex = "deadbeef"
+    big = 2**70
+    neg_small = (-60) % 2**256
+    words = [
+        w(4 * 32),                      # offset of name
+        w(6 * 32),                      # offset of blob
+        w(8 * 32),                      # offset of vals
+        w(neg_small),                   # delta = -60 (two's complement)
+        w(11), name_hex.ljust(64, "0"),
+        w(4), blob_hex.ljust(64, "0"),
+        w(2), w(7), w(big),
+    ]
+    rows = [(0, "0xtx", 0, "0xb", 1, "0x" + "a" * 40, "0x" + "".join(words),
+             [abi.topic0])]
+    logs = spark.createDataFrame(rows, LOG_SCHEMA)
+    parsed = parse_logs(logs, build_inventory(spark, [abi]), [abi])
+    pe = parsed.select("parsed_event").first()["parsed_event"]
+    assert pe["name"] == "hello world"
+    assert pe["blob"] == "0x" + blob_hex
+    assert pe["vals"] == f'["7","0x{w(big)}"]'
+    assert pe["delta"] == "-60"
+
+    # huge negative int256 → '~0x' marker → exact Decimal via hex_to_dec38
+    abi2 = EventAbi(
+        name="D", inputs=[{"name": "x", "type": "int256", "indexed": False}],
+        namespace="t", contract_name="t",
+    )
+    rows2 = [(0, "0xtx", 0, "0xb", 1, "0x" + "a" * 40,
+              "0x" + w((-(2**100)) % 2**256), [abi2.topic0])]
+    logs2 = spark.createDataFrame(rows2, LOG_SCHEMA)
+    parsed2 = parse_logs(logs2, build_inventory(spark, [abi2]), [abi2])
+    v = parsed2.select(
+        hex_to_dec38(F.col("parsed_event")["x"]).alias("v")
+    ).first()["v"]
+    assert v == Decimal(-(2**100))
