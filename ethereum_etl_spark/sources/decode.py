@@ -45,12 +45,18 @@ def raw_json_schema(entity_type: str, extra_fields=None) -> StructType:
     return StructType(fields)
 
 
+# entities whose `value` column is a true uint256 that can exceed
+# Decimal(38,0) — these get the lossless hex sidecar when enabled
+_SIDECAR_VALUE_ENTITIES = {"transaction", "token_transfer", "internal_transfer"}
+
+
 def decode_entity(
     wal_batch: DataFrame,
     entity_type: str,
     ops=("upsert",),
     include_seq: bool = True,
     extra_fields=None,
+    uint256_sidecar: bool = False,
 ) -> DataFrame:
     """Filter one entity stream out of a WAL batch and decode its payload.
 
@@ -59,6 +65,13 @@ def decode_entity(
     ``include_seq`` carries the WAL position through as ``_ingest_seq`` (the
     Iceberg _sequence_number analog) so MERGE can order same-key rows that
     arrive in one batch — e.g. an upsert and its reorg replacement.
+
+    ``uint256_sidecar``: adds a lossless ``value_raw`` string column holding
+    the ORIGINAL payload string whenever the Decimal(38,0) decode of `value`
+    overflowed to NULL — the SURVEY §7 sidecar (the reference's BigQuery
+    schema stores value as STRING for the same reason,
+    docs/limitations.md:9-12). NULL when the decimal is exact, so the column
+    compresses to nothing on healthy data.
     """
     schema = StructType(
         list(ENTITY_SCHEMAS[entity_type].fields) + list(extra_fields or [])
@@ -81,6 +94,23 @@ def decode_entity(
         cols.append(c.cast(f.dataType).alias(f.name))
     if "_ingest_seq" in df.columns:
         cols.append(F.col("_ingest_seq"))
+    want_sidecar = (
+        uint256_sidecar
+        and entity_type in _SIDECAR_VALUE_ENTITIES
+        and "value" in df.columns
+    )
+    if want_sidecar:
+        # referencing the DECODED value post-projection keeps the Arrow
+        # decode single-pass; raw survives only where the decimal lost it
+        cols.append(F.col("value").alias("__raw_value"))
+        out = df.select(*cols)
+        return out.withColumn(
+            "value_raw",
+            F.when(
+                F.col("value").isNull() & F.col("__raw_value").isNotNull(),
+                F.col("__raw_value"),
+            ),
+        ).drop("__raw_value")
     return df.select(*cols)
 
 

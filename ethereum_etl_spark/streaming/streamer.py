@@ -71,6 +71,11 @@ class StreamerConfig:
     # address. Off by default — they double the write volume of their base
     # entity, exactly like the reference's MV fan-out.
     projections: bool = False
+    # lossless uint256 channel: keep the raw payload string in `value_raw`
+    # whenever Decimal(38,0) decode of `value` overflows to NULL (SURVEY §7;
+    # the reference's BigQuery schema stores value as STRING for the same
+    # reason). Off by default — healthy chains never populate it.
+    uint256_sidecar: bool = False
     # additive schema evolution: entity → extra StructFields appearing in
     # late payloads (SURVEY §1.3; LakeTable widens the table on first sight)
     extra_entity_fields: dict = field(default_factory=dict)
@@ -213,6 +218,7 @@ class ChainStreamer:
                     entity,
                     ops=ops,
                     extra_fields=self.cfg.extra_entity_fields.get(entity),
+                    uint256_sidecar=self.cfg.uint256_sidecar,
                 ).cache()
                 # null-key guard sits ABOVE the cache boundary so the JSON
                 # parse runs exactly once (see drop_null_keys docstring)
@@ -285,7 +291,9 @@ class ChainStreamer:
         if "contract" in want:
             add("contracts", stamp(extract_contracts(frames=trace_frames), "contract"))
         if "token" in want:
-            add("tokens", stamp(get("token"), "token"))
+            from ethereum_etl_spark.operators.tokens import normalize_token_metadata
+
+            add("tokens", stamp(normalize_token_metadata(get("token")), "token"))
         if self.cfg.projections:
             if "logs" in out:
                 add("logs_by_address", out["logs"]["df"])
