@@ -1650,3 +1650,77 @@ def q42(spark, sf):
         F.round("price_stable", 6).alias("price_stable"),
         F.round("value_stable", 6).alias("value_stable"),
     )
+
+
+@_q(
+    "q43_swap_owner_detection",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, md5(CAST(o_orderkey AS VARCHAR)) AS tx,
+             '0x' || lpad(lower(to_hex(o_orderkey % 50)), 40, '0') AS pool,
+             '0x' || lpad(lower(to_hex(7000 + o_orderkey % 600)), 40, '0') AS wallet,
+             o_orderkey % 3 AS pattern
+      FROM orders WHERE o_orderkey <= 4096)
+    SELECT tx AS transaction_hash, 1 AS log_index, pool AS pool_address,
+           CASE pattern WHEN 0 THEN wallet            -- regular swap
+                        WHEN 1 THEN wallet            -- arbitrage bot
+                        ELSE pool END AS owner,       -- undetectable
+           CASE pattern WHEN 0 THEN 'wallet'
+                        WHEN 1 THEN 'arbitrage_bot'
+                        ELSE 'pool' END AS owner_type
+    FROM base
+    """,
+)
+def q43(spark, sf):
+    """Swap-owner detection: per-tx transfer graphs fabricated in three
+    known shapes — regular swap (wallet⇄pool across two tokens), arbitrage
+    bot (wallet→pool→wallet same token at a profit), and undetectable (a
+    single-token hop through the pool) — classified by the columnar
+    detect_swap_owners; the oracle states the analytically-known answer per
+    shape."""
+    from ethereum_etl_spark.operators.swap_owner import detect_swap_owners
+
+    o = ld(spark, sf, "orders").filter("o_orderkey <= 4096")
+    k = F.col("o_orderkey")
+    tx = F.md5(k.cast("string"))
+    pool = F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(k % 50)), 40, "0"))
+    wallet = F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(F.lit(7000) + k % 600)), 40, "0"))
+    tok_s = F.lit("0x" + "2" * 40)
+    tok_t = F.lit("0x" + "3" * 40)
+    pattern = k % 3
+    v = F.col("o_custkey").cast("decimal(38,0)")
+
+    def tr(frm, to, token, value):
+        return F.struct(
+            frm.alias("from_address"), to.alias("to_address"),
+            token.alias("token_address"), value.alias("value"),
+        )
+
+    transfers = o.select(
+        tx.alias("transaction_hash"),
+        F.when(
+            pattern == 0,  # regular: W -S-> P, P -T-> W (different tokens)
+            F.array(tr(wallet, pool, tok_s, v), tr(pool, wallet, tok_t, v + 7)),
+        ).when(
+            pattern == 1,  # bot: W -S-> P, P -S-> W with profit (same token)
+            F.array(tr(wallet, pool, tok_s, v), tr(pool, wallet, tok_s, v + 10)),
+        ).otherwise(  # undetectable: single-token hop from a stranger
+            F.array(tr(wallet, pool, tok_s, v)),
+        ).alias("ts"),
+    ).select("transaction_hash", F.explode("ts").alias("t")).select(
+        "transaction_hash", "t.from_address", "t.to_address",
+        "t.token_address", "t.value",
+    )
+    trades = o.select(
+        tx.alias("transaction_hash"),
+        F.lit(1).alias("log_index"),
+        pool.alias("pool_address"),
+        F.array(tok_s, tok_t).alias("token_addresses"),
+    )
+    pools = spark.createDataFrame(
+        [(f"0x{i:040x}",) for i in range(50)], "address string"
+    )
+    out = detect_swap_owners(trades, transfers, pools)
+    return out.select(
+        "transaction_hash", "log_index", "pool_address", "owner", "owner_type"
+    )

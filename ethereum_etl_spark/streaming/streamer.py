@@ -71,6 +71,12 @@ class StreamerConfig:
     # address. Off by default — they double the write volume of their base
     # entity, exactly like the reference's MV fan-out.
     projections: bool = False
+    # K7 multi-sink fanout (multi_item_exporter.py analog): per entity
+    # table, extra (format, dir) sinks that receive every batch's rows as
+    # files alongside the lake MERGE — e.g. {"blocks": [("json", "/out")]}
+    # writes /out/batch=<id>/ per micro-batch (overwrite per batch dir, so
+    # replays are idempotent).
+    fanout: dict = field(default_factory=dict)
     # lossless uint256 channel: keep the raw payload string in `value_raw`
     # whenever Decimal(38,0) decode of `value` overflows to NULL (SURVEY §7;
     # the reference's BigQuery schema stores value as STRING for the same
@@ -558,6 +564,18 @@ class ChainStreamer:
                 touched_range=touched,
                 extra_touched_values=reorg_blocks if block_keyed else None,
             )
+            for fmt, out_dir in self.cfg.fanout.get(name, []):
+                out = df
+                if fmt == "csv":
+                    for fld in out.schema.fields:
+                        if fld.dataType.typeName() in ("array", "map", "struct"):
+                            out = out.withColumn(fld.name, F.to_json(fld.name))
+                (
+                    out.write.mode("overwrite")
+                    .format(fmt)
+                    .option("header", "true")
+                    .save(f"{out_dir}/batch={batch_id}")
+                )
             merge_secs[name] = round(time.time() - __t0, 3)
 
         # per-entity MERGEs are independent (separate tables) → submit

@@ -81,3 +81,34 @@ def test_approx_uniques_error_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(3, 0.06 * n), (k, approx[k], n)
+
+
+def test_multi_sink_fanout(spark):
+    """K7: an entity's batch rows land in extra file sinks alongside the
+    lake MERGE; replays overwrite their batch dir (idempotent)."""
+    import shutil
+    import tempfile
+
+    from ethereum_etl_spark.sources.wal import ChainWalSpec, WalTailer, generate_chain_wal
+    from ethereum_etl_spark.streaming import ChainStreamer, StreamerConfig
+
+    wh = tempfile.mkdtemp(prefix="fanout_wh_")
+    sink = tempfile.mkdtemp(prefix="fanout_sink_")
+    try:
+        wal = generate_chain_wal(spark, ChainWalSpec(start_block=0, end_block=9))
+        cfg = StreamerConfig(
+            warehouse=wh, batch_size=1000, partition_size=16,
+            entity_types=("block", "transaction", "receipt"),
+            fanout={"blocks": [("json", sink + "/blocks")]},
+        )
+        s = ChainStreamer(spark, cfg)
+        s.run(WalTailer(wal, batch_size=1000))
+        got = spark.read.json(sink + "/blocks/batch=*")
+        assert got.count() == 10
+        # replay: same batch id → same files, no duplication
+        s2 = ChainStreamer(spark, cfg)
+        s2.run(WalTailer(wal, batch_size=1000), start=0)
+        assert spark.read.json(sink + "/blocks/batch=*").count() == 10
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
