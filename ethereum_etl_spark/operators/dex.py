@@ -513,3 +513,81 @@ def discover_pools(parsed_logs: DataFrame) -> DataFrame:
         F.col("block_number"),
     )
     return v2.unionByName(v3)
+
+
+# ---------------------------------------------------------------------------
+# Balancer-V2 family (service/dex/balancer/balancer.py re-expressed)
+# ---------------------------------------------------------------------------
+
+BALANCER_V2_ABIS = [
+    EventAbi(
+        name="Swap",
+        inputs=[
+            {"name": "poolId", "type": "bytes32", "indexed": True},
+            {"name": "tokenIn", "type": "address", "indexed": True},
+            {"name": "tokenOut", "type": "address", "indexed": True},
+            {"name": "amountIn", "type": "uint256", "indexed": False},
+            {"name": "amountOut", "type": "uint256", "indexed": False},
+        ],
+        namespace="balancer_v2",
+        contract_name="vault",
+    ),
+]
+
+
+def extract_dex_trades_balancer(parsed_logs: DataFrame, tokens: DataFrame) -> DataFrame:
+    """Balancer-V2 Vault swaps → dex_trades rows (balancer.py:448-481).
+
+    The ONE Vault contract emits every pool's Swap; the pool address is the
+    first 20 bytes of the indexed poolId (balancer.py:129-133), so trade
+    assembly needs no pool dimension at all — only token decimals.
+    token_amounts = [amountIn/s_in, -amountOut/s_out] over
+    token_addresses = [tokenIn, tokenOut]; prices = amountOut/amountIn and
+    its reciprocal; reserves are RPC point-reads in the reference → 0 here
+    (same fallback as its error path)."""
+    pe = F.col("parsed_event")
+    ev = parsed_logs.filter(
+        F.array_contains(F.col("namespace"), "balancer_v2")
+        & (F.col("event_name") == "Swap")
+    ).select(
+        "block_number", "transaction_hash", "log_index",
+        F.lower(F.substring(pe["poolId"], 1, 42)).alias("pool_address"),
+        F.lower(pe["tokenIn"]).alias("__tin"),
+        F.lower(pe["tokenOut"]).alias("__tout"),
+        pe["amountIn"].alias("__ain_raw"),
+        pe["amountOut"].alias("__aout_raw"),
+        F.col("contract_address").alias("factory_address"),  # the Vault
+    )
+    from ethereum_etl_spark.functions.hex import hex_to_dec38
+
+    tok = tokens.select("address", "decimals")
+    ev = (
+        ev.join(
+            F.broadcast(tok.select(F.col("address").alias("__tin"), F.col("decimals").alias("__din"))),
+            on="__tin", how="left",
+        )
+        .join(
+            F.broadcast(tok.select(F.col("address").alias("__tout"), F.col("decimals").alias("__dout"))),
+            on="__tout", how="left",
+        )
+        .withColumn("__ain", hex_to_dec38(F.col("__ain_raw")).cast("double")
+                    / F.pow(F.lit(10.0), F.coalesce("__din", F.lit(18))))
+        .withColumn("__aout", hex_to_dec38(F.col("__aout_raw")).cast("double")
+                    / F.pow(F.lit(10.0), F.coalesce("__dout", F.lit(18))))
+    )
+    p0 = F.when(F.col("__ain") != 0, F.abs(F.col("__aout") / F.col("__ain"))).otherwise(F.lit(0.0))
+    p1 = F.when(F.col("__aout") != 0, F.abs(F.col("__ain") / F.col("__aout"))).otherwise(F.lit(0.0))
+    return ev.select(
+        F.array(F.col("__ain"), -F.col("__aout")).alias("token_amounts"),
+        "pool_address",
+        "transaction_hash",
+        "log_index",
+        "block_number",
+        F.lit("swap").alias("event_type"),
+        F.array(F.lit(0.0), F.lit(0.0)).alias("token_reserves"),
+        F.array(p0, p1).alias("token_prices"),
+        F.array(F.col("__tin"), F.col("__tout")).alias("token_addresses"),
+        "factory_address",
+        F.lit(None).cast("string").alias("wallet_address"),
+        F.lit("balancer_v2").alias("amm"),
+    )

@@ -1099,7 +1099,7 @@ def q35(spark, sf):
              CAST(o_custkey AS DOUBLE) AS a0in,
              -- the Spark side ABI-encodes the amount as a 64-bit word, i.e.
              -- the integer-truncated price; encode the SAME value here
-             CAST(CAST(o_totalprice AS BIGINT) AS DOUBLE) AS a1out,
+             CAST(floor(o_totalprice) AS BIGINT)::DOUBLE AS a1out,
              CAST(1000 + o_orderkey % 97 AS DOUBLE) AS r0,
              CAST(5000 + o_orderkey % 89 AS DOUBLE) AS r1
       FROM orders WHERE o_orderkey <= 4096)
@@ -1467,7 +1467,7 @@ def q41(spark, sf):
              '0x' || lpad(lower(to_hex(o_orderkey % 50)), 40, '0') AS pool_address,
              md5(CAST(o_orderkey AS VARCHAR)) AS tx,
              CAST(o_custkey AS DOUBLE) AS a0in,
-             CAST(CAST(o_totalprice AS BIGINT) AS DOUBLE) AS a1out,
+             CAST(floor(o_totalprice) AS BIGINT)::DOUBLE AS a1out,
              CAST(1000 + o_orderkey % 97 AS DOUBLE) AS r0,
              CAST(5000 + o_orderkey % 89 AS DOUBLE) AS r1
       FROM orders WHERE o_orderkey <= 4096),
@@ -1723,4 +1723,86 @@ def q43(spark, sf):
     out = detect_swap_owners(trades, transfers, pools)
     return out.select(
         "transaction_hash", "log_index", "pool_address", "owner", "owner_type"
+    )
+
+
+@_q(
+    "q44_balancer_vault_swaps",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, md5(CAST(o_orderkey AS VARCHAR)) AS tx,
+             '0x' || lpad(lower(to_hex(o_orderkey % 30)), 40, '0') AS pool,
+             CAST(o_custkey AS DOUBLE) AS ain_raw,
+             -- floor, not CAST: DuckDB's double->BIGINT cast ROUNDS while
+             -- Spark's encode-side cast truncates
+             CAST(floor(o_totalprice) AS BIGINT)::DOUBLE AS aout_raw
+      FROM orders WHERE o_orderkey <= 4096)
+    SELECT pool AS pool_address, tx AS transaction_hash, k AS block_number,
+           'swap' AS event_type, 'balancer_v2' AS amm,
+           round(ain_raw / 1000000.0, 6) AS amount_in,
+           round(-aout_raw / 1000000.0, 6) + 0.0 AS amount_out,
+           CASE WHEN ain_raw = 0 THEN 0.0
+                ELSE round(abs((aout_raw / 1000000.0) / (ain_raw / 1000000.0)), 6)
+           END AS price0,
+           CASE WHEN aout_raw = 0 THEN 0.0
+                ELSE round(abs((ain_raw / 1000000.0) / (aout_raw / 1000000.0)), 6)
+           END AS price1
+    FROM base
+    """,
+)
+def q44(spark, sf):
+    """Balancer-V2 Vault swaps: one contract, pool address recovered from
+    the first 20 bytes of the indexed bytes32 poolId — no pool dimension
+    needed for assembly. amountIn/amountOut scaled by token decimals,
+    prices = the in/out ratio pair."""
+    from ethereum_etl_spark.operators.dex import (
+        BALANCER_V2_ABIS,
+        TOKEN_DIM_DDL,
+        extract_dex_trades_balancer,
+    )
+    from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
+
+    SWAP = BALANCER_V2_ABIS[0]
+    o = ld(spark, sf, "orders").filter("o_orderkey <= 4096")
+    k = F.col("o_orderkey")
+    pool_word = F.concat(F.lpad(F.lower(F.hex(k % 30)), 40, "0"), F.lit("0" * 24))
+
+    def w64(c):
+        return F.lpad(F.lower(F.hex(c.cast("long"))), 64, "0")
+
+    logs = o.select(
+        F.lit(0).alias("log_index"),
+        F.md5(k.cast("string")).alias("transaction_hash"),
+        F.lit(0).alias("transaction_index"),
+        F.lit("0xb").alias("block_hash"),
+        k.alias("block_number"),
+        F.lit("0x" + "ba" * 20).alias("address"),  # the Vault
+        F.concat(
+            F.lit("0x"),
+            w64(F.col("o_custkey")),
+            w64(F.col("o_totalprice").cast("long")),
+        ).alias("data"),
+        F.array(
+            F.lit(SWAP.topic0),
+            F.concat(F.lit("0x"), pool_word),
+            F.concat(F.lit("0x"), F.lpad(F.lit("2" * 40), 64, "0")),
+            F.concat(F.lit("0x"), F.lpad(F.lit("3" * 40), 64, "0")),
+        ).alias("topics"),
+    )
+    inv = build_inventory(spark, BALANCER_V2_ABIS)
+    parsed = parse_logs(logs, inv, BALANCER_V2_ABIS)
+    tokens = spark.createDataFrame(
+        [("0x" + "2" * 40, "AAA", 6), ("0x" + "3" * 40, "BBB", 6)], TOKEN_DIM_DDL
+    )
+    t = extract_dex_trades_balancer(parsed, tokens)
+    return t.select(
+        "pool_address",
+        "transaction_hash",
+        "block_number",
+        "event_type",
+        "amm",
+        F.round(F.element_at("token_amounts", 1), 6).alias("amount_in"),
+        (F.round(F.element_at("token_amounts", 2), 6) + F.lit(0.0)).alias("amount_out"),
+        F.round(F.element_at("token_prices", 1), 6).alias("price0"),
+        F.round(F.element_at("token_prices", 2), 6).alias("price1"),
     )
