@@ -104,7 +104,10 @@ def extract_dex_trades(
         )
     )
     tok = tokens.select("address", "decimals")
-    events = parsed_logs.filter(F.col("event_name").isin("Swap", "Sync", "Mint", "Burn"))
+    events = parsed_logs.filter(
+        F.array_contains(F.col("namespace"), "uniswap_v2")
+        & F.col("event_name").isin("Swap", "Sync", "Mint", "Burn")
+    )
     ev = (
         events.join(p, on="contract_address", how="inner")
         .join(

@@ -356,7 +356,14 @@ class ChainStreamer:
             # very batch (a pool's first swap can share a batch with its
             # PairCreated), and reading post-commit avoids racing that
             # merge's snapshot GC.
-            from ethereum_etl_spark.operators.dex import UNISWAP_V2_ABIS, extract_dex_trades
+            from ethereum_etl_spark.operators.dex import (
+                BALANCER_V2_ABIS,
+                UNISWAP_V2_ABIS,
+                UNISWAP_V3_ABIS,
+                extract_dex_trades,
+                extract_dex_trades_balancer,
+                extract_dex_trades_v3,
+            )
             from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
 
             batch_pools = dex_pools_batch
@@ -375,15 +382,28 @@ class ChainStreamer:
                     tokens_dim = batch_tokens.select(*tok_cols).dropDuplicates(["address"])
                 else:
                     tokens_dim = self.spark.createDataFrame([], "address string, decimals int")
-                v2_inv = build_inventory(self.spark, UNISWAP_V2_ABIS)
-                parsed_v2 = parse_logs(get("log"), v2_inv, UNISWAP_V2_ABIS)
-                trades = extract_dex_trades(parsed_v2, pools_dim, tokens_dim)
-                trades = trades.select(
+                # ONE parse pass over the batch logs with the combined
+                # AMM inventory (topic0s are disjoint across families),
+                # then one extractor per family unioned into dex_trades —
+                # the reference's per-namespace resolver dispatch
+                all_abis = UNISWAP_V2_ABIS + UNISWAP_V3_ABIS + BALANCER_V2_ABIS
+                inv = build_inventory(self.spark, all_abis)
+                parsed = parse_logs(get("log"), inv, all_abis)
+                shape = [
                     "block_number", "transaction_hash",
                     F.col("log_index").cast("int").alias("log_index"),
                     "pool_address", "event_type", "token_amounts",
                     "token_reserves", "token_prices", "token_addresses",
                     "factory_address", "wallet_address", "amm",
+                ]
+                trades = (
+                    extract_dex_trades(parsed, pools_dim, tokens_dim).select(*shape)
+                    .unionByName(
+                        extract_dex_trades_v3(parsed, pools_dim, tokens_dim).select(*shape)
+                    )
+                    .unionByName(
+                        extract_dex_trades_balancer(parsed, tokens_dim).select(*shape)
+                    )
                 )
                 return stamp(trades, "dex_trade"), {}
 
