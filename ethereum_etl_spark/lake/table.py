@@ -327,6 +327,7 @@ class LakeTable:
         delete_key_cols: list[str] | None = None,
         touched_range: tuple[int, int] | None = None,
         extra_touched_values: list[int] | None = None,
+        skip_batch_dedup: bool = False,
     ) -> int:
         """MERGE INTO semantics, last-write-wins on the natural key.
 
@@ -403,15 +404,23 @@ class LakeTable:
             )
         )
         if can_append:
-            order = [F.col("__precedence").desc()]
-            if version_col is not None:
-                order.append(F.col(version_col).desc_nulls_last())
-            w = Window.partitionBy(*m.key).orderBy(*order)
-            merged = (
-                aligned.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn", "__precedence")
-            )
+            if skip_batch_dedup:
+                # caller guarantees the batch carries at most one row per
+                # natural key (e.g. a reorg-free block range decoded from a
+                # seq-unique WAL) — drop the row_number window and its
+                # key-partitioned shuffle entirely, leaving the partitioning
+                # shuffle as the merge's only exchange
+                merged = aligned.drop("__precedence")
+            else:
+                order = [F.col("__precedence").desc()]
+                if version_col is not None:
+                    order.append(F.col(version_col).desc_nulls_last())
+                w = Window.partitionBy(*m.key).orderBy(*order)
+                merged = (
+                    aligned.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn", "__precedence")
+                )
             new_version = m.version + 1
             m.schema_json = evolved.jsonValue()
             new_files = self._write_partitioned(merged, m, new_version)

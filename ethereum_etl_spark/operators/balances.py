@@ -85,13 +85,36 @@ def token_balance_deltas(transfers: DataFrame) -> DataFrame:
 
 
 def token_balances_from_transfers(
-    transfers: DataFrame, carry_in: DataFrame | None = None
+    transfers: DataFrame,
+    carry_in: DataFrame | None = None,
+    key_filter: DataFrame | None = None,
 ) -> DataFrame:
     """(token, holder, token_id, block) → running balance.
 
     ``carry_in``: latest balances from prior batches with columns
-    (token_address, holder_address, token_id, value)."""
+    (token_address, holder_address, token_id, value).
+    ``key_filter``: optional (token_address, holder_address, token_id) set —
+    restrict the computation to those keys (null-safe on token_id); the
+    reorg repair path passes the affected keys so the recompute is
+    proportional to the reorg, not the block range."""
     d = token_balance_deltas(transfers)
+    if key_filter is not None:
+        kf = F.broadcast(
+            key_filter.select(
+                F.col("token_address").alias("__kt"),
+                F.col("holder_address").alias("__kh"),
+                F.coalesce(F.col("token_id"), F.lit(-1).cast("decimal(38,0)")).alias("__ki"),
+            ).distinct()
+        )
+        d = d.join(
+            kf,
+            on=(
+                (d["token_address"] == F.col("__kt"))
+                & (d["holder_address"] == F.col("__kh"))
+                & (_TID() == F.col("__ki"))
+            ),
+            how="left_semi",
+        )
     per_block = d.groupBy(
         "token_address", "holder_address", "token_id", "block_number"
     ).agg(
@@ -141,6 +164,7 @@ def native_balances_from_transactions(
     transactions: DataFrame,
     internal_transfers: DataFrame | None = None,
     carry_in: DataFrame | None = None,
+    key_filter: DataFrame | None = None,
 ) -> DataFrame:
     """(address, block) → running native balance from tx value flows (+
     internal transfers when available). Gas accounting intentionally
@@ -172,6 +196,12 @@ def native_balances_from_transactions(
     legs = legs.filter(
         F.col("address").isNotNull() & ~F.col("address").isin(NULL_ADDRESSES)
     )
+    if key_filter is not None:
+        legs = legs.join(
+            F.broadcast(key_filter.select("address").distinct()),
+            on="address",
+            how="left_semi",
+        )
     per_block = legs.groupBy("address", "block_number").agg(F.sum("delta").alias("block_delta"))
     w = (
         Window.partitionBy("address")

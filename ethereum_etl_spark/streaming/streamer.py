@@ -49,6 +49,14 @@ DEFAULT_ENTITIES = (
     "token", "token_balance", "native_balance", "candle",
 )
 
+# entities whose natural key is unique WITHIN a reorg-free micro-batch by
+# construction (decode of a seq-unique WAL; key embeds the block) — their
+# append-path merges may skip the in-batch dedup window
+_UNIQUE_BATCH_KEY_ENTITIES = frozenset({
+    "blocks", "transactions", "receipts", "logs", "geth_traces",
+    "token_balances", "native_balances", "dex_trades", "candles_1h",
+})
+
 CANDLE_SCHEMA_DDL = (
     "token_address string, bucket_epoch long, bucket_start timestamp,"
     "open decimal(38,0), high decimal(38,0), low decimal(38,0),"
@@ -583,6 +591,18 @@ class ChainStreamer:
                 delete_key_cols=dkc,
                 touched_range=touched,
                 extra_touched_values=reorg_blocks if block_keyed else None,
+                # these entities carry at most one row per key within a
+                # reorg-free batch (the WAL is seq-unique and the key embeds
+                # the block) — the in-batch dedup window is provably a no-op
+                # on the append path. token_transfers and internal_transfers
+                # are NOT listed: an ERC-1155 batch log can repeat a
+                # token_id, and the reference's depth-string id can collide
+                # past 10 siblings — both need the last-write-wins collapse.
+                skip_batch_dedup=(
+                    block_keyed
+                    and not has_reorg
+                    and name in _UNIQUE_BATCH_KEY_ENTITIES
+                ),
             )
             for fmt, out_dir in self.cfg.fanout.get(name, []):
                 out = df
@@ -691,7 +711,7 @@ class ChainStreamer:
            written at every touched block). Read post-merge, so this is also
            crash-replay-safe: no pre-merge snapshot is needed.
         2. boundary = reorged block rounded down to the lake-partition edge;
-           recompute the running sums for ALL keys active in [boundary, hi]
+           recompute the running sums for the AFFECTED keys over [boundary, hi]
            from the committed (reorg-merged) transfers/transactions, carried
            in from each key's last pre-boundary history row.
         3. MERGE: delete affected keys' rows in partitions ≥ boundary
@@ -714,7 +734,7 @@ class ChainStreamer:
 
         min_rb = min(reorg_blocks)
 
-        def fix(hist_name, latest_name, key_cols, range_keys_of, recompute, latest_of):
+        def fix(hist_name, latest_name, key_cols, recompute, latest_of):
             if hist_name not in self.tables or latest_name not in self.tables:
                 return
             t = self.tables[hist_name]
@@ -735,15 +755,15 @@ class ChainStreamer:
             akeys = self.spark.createDataFrame(affected_rows, schema)
             base = None
             if boundary > 0:
-                # carry-in: last pre-boundary row per key, for keys that are
-                # either active in the recompute range or reorg-affected
-                relevant = range_keys_of(boundary).unionByName(akeys).distinct()
+                # carry-in: last pre-boundary row per affected key (the
+                # recompute below is key-filtered to the same set, so this
+                # is the only carry it needs)
                 pre = self._ns_join(
-                    t.read(prune_max=boundary - 1), relevant, key_cols, "inner"
+                    t.read(prune_max=boundary - 1), akeys, key_cols, "inner"
                 )
                 base = latest_of(pre).cache()
                 base.count()  # materialize: the source snapshot is GC'd below
-            recomputed = recompute(boundary, base).cache()
+            recomputed = recompute(boundary, base, akeys).cache()
             t.merge_upsert(
                 recomputed,
                 batch_id=f"{batch_id}/reorg-fix-{hist_name}",
@@ -771,24 +791,19 @@ class ChainStreamer:
         if "token_transfers" in self.tables:
             tt_t = self.tables["token_transfers"]
 
-            def token_range_keys(boundary):
-                from ethereum_etl_spark.operators.balances import token_balance_deltas
-
-                return token_balance_deltas(
-                    tt_t.read(prune_min=boundary, prune_max=hi_bn)
-                ).select("token_address", "holder_address", "token_id").distinct()
-
-            def recompute_token(boundary, base):
+            def recompute_token(boundary, base, akeys):
                 tt = tt_t.read(prune_min=boundary, prune_max=hi_bn)
                 return stamp(
-                    token_balances_from_transfers(tt, carry_in=base), "token_balance"
+                    token_balances_from_transfers(
+                        tt, carry_in=base, key_filter=akeys
+                    ),
+                    "token_balance",
                 )
 
             fix(
                 "token_balances",
                 "token_balances_latest",
                 ["token_address", "holder_address", "token_id"],
-                token_range_keys,
                 recompute_token,
                 latest_token_balances,
             )
@@ -796,19 +811,12 @@ class ChainStreamer:
         if "transactions" in self.tables:
             tx_t = self.tables["transactions"]
 
-            def native_range_keys(boundary):
-                tx = tx_t.read(prune_min=boundary, prune_max=hi_bn)
-                return (
-                    tx.select(F.col("from_address").alias("address"))
-                    .unionByName(tx.select(F.col("to_address").alias("address")))
-                    .filter(F.col("address").isNotNull())
-                    .distinct()
-                )
-
-            def recompute_native(boundary, base):
+            def recompute_native(boundary, base, akeys):
                 tx = tx_t.read(prune_min=boundary, prune_max=hi_bn)
                 return stamp(
-                    native_balances_from_transactions(tx, carry_in=base),
+                    native_balances_from_transactions(
+                        tx, carry_in=base, key_filter=akeys
+                    ),
                     "native_balance",
                 )
 
@@ -826,7 +834,6 @@ class ChainStreamer:
                 "native_balances",
                 "native_balances_latest",
                 ["address"],
-                native_range_keys,
                 recompute_native,
                 latest_native,
             )
