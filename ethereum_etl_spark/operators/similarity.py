@@ -158,3 +158,34 @@ def srp_lsh_buckets(
         ]
     )
     return embeddings.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: SRP-LSH bucket candidates →
+    exact cosine verify ≥ threshold. The join is keyed on the bucket (never
+    all-pairs); recall is the SRP collision probability (1 − θ/π)^n_planes
+    per pair — the standard candidates-then-verify contract, with the
+    deterministic md5-seeded hyperplanes making results reproducible."""
+    b = srp_lsh_buckets(embeddings, n_planes, dim, id_col, vec_col)
+    v = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
+        b.select(F.col(id_col).alias("id"), "bucket"), on="id"
+    )
+    x = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    y = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        x.join(y, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(_to_double(F.col("va")), _to_double(F.col("vb"))), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1806,3 +1806,60 @@ def q44(spark, sf):
         F.round(F.element_at("token_prices", 1), 6).alias("price0"),
         F.round(F.element_at("token_prices", 2), 6).alias("price1"),
     )
+
+
+@_q(
+    "q45_jaccard_stop_shingles",
+    f"""
+    WITH {_SHINGLES_SQL},
+    kept AS (SELECT s FROM dsh GROUP BY s HAVING count(*) <= 50),
+    fsh AS (SELECT d.doc_id, d.s FROM dsh d JOIN kept USING (s)),
+    cnt AS (SELECT doc_id, count(*) AS n_sh FROM fsh GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          FROM fsh a JOIN fsh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b,
+           round(p.common / (ca.n_sh + cb.n_sh - p.common), 4) AS jaccard
+    FROM p JOIN cnt ca ON ca.doc_id = p.id_a JOIN cnt cb ON cb.doc_id = p.id_b
+    WHERE round(p.common / (ca.n_sh + cb.n_sh - p.common), 4) >= 0.03
+    """,
+)
+def q45(spark, sf):
+    """Exact n-gram Jaccard WITH the stop-shingle guard engaged
+    (max_shingle_df=50): boilerplate shingles appearing in >50 docs are
+    dropped before pairing — the Θ(Σ df²) self-join is bounded by the df cap
+    and Jaccard is recomputed over the filtered shingle universe (mirrored
+    in the oracle). This is the shape an exact verification pass would run
+    at scale after LSH pruning."""
+    return ngram_jaccard_pairs(
+        ld(spark, sf, "documents"), threshold=0.03, max_shingle_df=50
+    )
+
+
+@_q(
+    "q46_embedding_near_dups",
+    f"""
+    WITH b AS (
+      SELECT vec_id, {' || '.join(
+        f"CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"{'[' + ','.join(str(int(x)) for x in p) + ']::DOUBLE[]'}) >= 0 "
+        "THEN '1' ELSE '0' END" for p in _srp_planes())} AS bucket,
+             embedding::DOUBLE[] AS v
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+           round(list_dot_product(a.v, x.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(x.v, x.v))), 6) AS cos_sim
+    FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+    WHERE round(list_dot_product(a.v, x.v) /
+                (sqrt(list_dot_product(a.v, a.v)) *
+                 sqrt(list_dot_product(x.v, x.v))), 6) >= 0.1
+    """,
+)
+def q46(spark, sf):
+    """Embedding-cosine near-dup pairs: SRP-LSH bucket candidates verified
+    by exact cosine ≥ threshold — bucket-keyed join, never all-pairs; the
+    md5-seeded hyperplanes are shared verbatim with the oracle."""
+    from ethereum_etl_spark.operators.similarity import embedding_near_dups
+
+    return embedding_near_dups(ld(spark, sf, "embeddings"), threshold=0.1)

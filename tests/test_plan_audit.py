@@ -1,0 +1,79 @@
+"""Physical-plan audits: the properties that make the operators scale are
+pinned here so a refactor can't silently regress them.
+
+- lake range reads must push the prune predicate into the parquet scan;
+- dimension enrich joins must broadcast (no shuffled SMJ for blocks/pools);
+- decode hot paths must contain NO row-at-a-time Python (BatchEvalPython) —
+  Arrow-batched UDF nodes (ArrowEvalPython) are the only Python allowed;
+- LSH/dedup candidate generation must never plan a CartesianProduct.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lake_read_pushes_prune_filter(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ethereum_etl_spark.lake import LakeTable
+
+    root = tempfile.mkdtemp(prefix="plan_audit_")
+    try:
+        sch = StructType([
+            StructField("block_number", LongType(), False),
+            StructField("v", StringType()),
+        ])
+        t = LakeTable.create(spark, root + "/t", sch, key=["block_number"],
+                             prune_col="block_number", partition_size=10)
+        t.merge_upsert(
+            spark.createDataFrame([(i, "x") for i in range(40)], sch),
+            batch_id="b", touched_range=(0, 39),
+        )
+        plan = _plan(t.read(prune_min=5, prune_max=12))
+        assert "PushedFilters" in plan
+        assert "GreaterThanOrEqual(block_number,5)" in plan, plan[:2000]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_enrich_joins_broadcast(spark, sf_dir):
+    from ethereum_etl_spark.plans.harness_queries import QUERIES
+
+    assert "BroadcastHashJoin" in _plan(QUERIES["q02_enrich_broadcast_join"](spark, sf_dir))
+    star = _plan(QUERIES["q19_region_revenue"](spark, sf_dir))
+    assert star.count("BroadcastHashJoin") >= 2
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["q23_erc20_decode_parity", "q27_minhash_lsh_pairs", "q31_simhash_near_dups",
+     "q36_minhash_lsh_fast", "q46_embedding_near_dups"],
+)
+def test_no_row_python_and_no_cartesian(spark, sf_dir, qname):
+    from ethereum_etl_spark.plans.harness_queries import QUERIES
+
+    plan = _plan(QUERIES[qname](spark, sf_dir))
+    assert "BatchEvalPython" not in plan, f"row-at-a-time Python in {qname}"
+    assert "CartesianProduct" not in plan, f"cartesian product in {qname}"
+
+
+def test_decode_entity_whole_stage_codegen(spark):
+    """The WAL decode must stay inside codegen apart from the guarded Arrow
+    uint256 fallback."""
+    from ethereum_etl_spark.sources.decode import decode_entity
+    from ethereum_etl_spark.sources.wal import ChainWalSpec, generate_chain_wal
+
+    wal = generate_chain_wal(spark, ChainWalSpec(start_block=0, end_block=3))
+    plan = _plan(decode_entity(wal, "transaction"))
+    assert "BatchEvalPython" not in plan
+    # '*(' is the whole-stage-codegen stage marker in the simple plan string
+    assert "*(" in plan
