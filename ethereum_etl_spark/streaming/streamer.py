@@ -278,7 +278,12 @@ class ChainStreamer:
             add("logs", stamp(logs, "log", ts_col="block_timestamp"))
         if "token_transfer" in want:
             tt = extract_token_transfers(get("log"))
-            tt = enrich_with_blocks(tt, get("block"))
+            tt = enrich_with_blocks(tt, get("block")).cache()
+            if aux_cache is not None:
+                # the ERC decode feeds BOTH the transfers merge and the
+                # balance cumsum build — cache it or the whole extract runs
+                # twice (measured ~2x the costliest non-Python stage)
+                aux_cache.append(tt)
             token_transfers = tt  # enriched (carries block_timestamp)
             add("token_transfers", stamp(tt, "token_transfer", ts_col="block_timestamp"))
         flat_frames = None
@@ -499,6 +504,8 @@ class ChainStreamer:
         """Decode → enrich → MERGE one batch of WAL rows. Returns lineage
         info. ``force_delete_blocks``: treat these block numbers as reorged
         regardless of op (the verifier repair path)."""
+        phase_secs: dict[str, float] = {}
+        __t = time.time()
         batch = batch.cache()
 
         # ONE stats pass over the batch: block span + reorg presence. The
@@ -514,6 +521,7 @@ class ChainStreamer:
             batch.unpersist()
             return {"entities": [], "reorg": False, "rows": 0}
         lo_bn, hi_bn = int(stats["lo"]), int(stats["hi"])
+        phase_secs["stats"] = round(time.time() - __t, 3)
         has_reorg = (stats["n_reorg"] or 0) > 0 or bool(force_delete_blocks)
 
         reorg_blocks: list[int] = list(force_delete_blocks or [])
@@ -546,9 +554,12 @@ class ChainStreamer:
                 .drop("__winning_hash")
             )
 
+        __t = time.time()
         get, cache = self._decode_batch(batch)
         aux_cache: list = []
         derived = self._derive(get, aux_cache)
+        phase_secs["plan"] = round(time.time() - __t, 3)
+        __t = time.time()
 
         merge_secs: dict[str, float] = {}
 
@@ -661,6 +672,8 @@ class ChainStreamer:
             ordered = [n for n in derived if n not in DEPS] + [n for n in derived if n in DEPS]
             for name in ordered:
                 _merge_one(name, derived[name])
+        phase_secs["merges"] = round(time.time() - __t, 3)
+        __t = time.time()
 
         if has_reorg and reorg_blocks:
             # balances are running sums — a reorg invalidates every row of an
@@ -669,6 +682,7 @@ class ChainStreamer:
             # from the now-committed transfer/transaction tables (the same
             # deferred-recompute pattern candles use).
             self._reorg_fix_balances(reorg_blocks, hi_bn, batch_id)
+        phase_secs["reorg_fix"] = round(time.time() - __t, 3)
 
         if self.cfg.collect_errors:
             self._append_decode_errors(batch, batch_id)
@@ -683,6 +697,7 @@ class ChainStreamer:
             "hi_block": hi_bn,
             "n_events": int(stats["n_events"]),
             "merge_secs": merge_secs,
+            "phase_secs": phase_secs,
         }
 
     # ---------- reorg balance repair ----------
@@ -788,6 +803,7 @@ class ChainStreamer:
             if base is not None:
                 base.unpersist()
 
+        jobs = []
         if "token_transfers" in self.tables:
             tt_t = self.tables["token_transfers"]
 
@@ -800,13 +816,13 @@ class ChainStreamer:
                     "token_balance",
                 )
 
-            fix(
+            jobs.append(lambda: fix(
                 "token_balances",
                 "token_balances_latest",
                 ["token_address", "holder_address", "token_id"],
                 recompute_token,
                 latest_token_balances,
-            )
+            ))
 
         if "transactions" in self.tables:
             tx_t = self.tables["transactions"]
@@ -830,13 +846,22 @@ class ChainStreamer:
                     .select("block_number", "address", "value")
                 )
 
-            fix(
+            jobs.append(lambda: fix(
                 "native_balances",
                 "native_balances_latest",
                 ["address"],
                 recompute_native,
                 latest_native,
-            )
+            ))
+
+        if jobs:
+            # the two balance families touch disjoint tables — repair them
+            # concurrently (each is itself a serial chain of reads + merges)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+                for f in [ex.submit(j) for j in jobs]:
+                    f.result()
 
     # ---------- dead-letter channel ----------
 
