@@ -395,6 +395,13 @@ class LakeTable:
         # files back together so file counts stay O(log) per partition.
         can_append = (
             delete_keys is None
+            # extra_touched_values may reference prune values BELOW
+            # touched_range[0] (reorg repair pointing at old blocks) — the
+            # batch-min the fast path trusts would then be a lie and an
+            # append could place duplicate natural keys next to stored rows.
+            # Today every such caller also passes delete_keys, but that is an
+            # implicit invariant; enforce it here instead of relying on it.
+            and not extra_touched_values
             and m.prune_col in m.key
             and batch_min_prune is not None
             and -1 not in touched

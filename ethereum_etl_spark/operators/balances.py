@@ -165,10 +165,22 @@ def native_balances_from_transactions(
     internal_transfers: DataFrame | None = None,
     carry_in: DataFrame | None = None,
     key_filter: DataFrame | None = None,
+    blocks: DataFrame | None = None,
 ) -> DataFrame:
     """(address, block) → running native balance from tx value flows (+
-    internal transfers when available). Gas accounting intentionally
-    excluded (documented divergence from eth_getBalance absolute reads)."""
+    internal transfers when available).
+
+    Gas accounting (VERDICT r3 item 7): when ``transactions`` carries the
+    receipt join (receipt_gas_used, receipt_effective_gas_price — the
+    streamer's enriched tx shape), each tx ALSO debits
+    fee = gas_used × effective_gas_price from the sender. When ``blocks``
+    (number, miner[, base_fee_per_gas]) is given, the miner is credited the
+    tip, fee − gas_used × base_fee (EIP-1559: the base-fee portion is
+    burned), or the full fee when base_fee is NULL (pre-1559 blocks).
+    Block issuance rewards remain out of scope — they are not derivable
+    from the WAL (the residual divergence vs eth_getBalance absolute
+    reads). try_multiply keeps crafted uint256 gas prices from throwing
+    under ANSI — an overflowing fee row is dropped, not a poison pill."""
     flows = transactions.select(
         "block_number",
         F.col("from_address").alias("from_a"),
@@ -193,6 +205,50 @@ def native_balances_from_transactions(
             )
         ).alias("leg"),
     ).select("block_number", F.col("leg.address").alias("address"), F.col("leg.delta").alias("delta"))
+    has_fees = {"receipt_gas_used", "receipt_effective_gas_price"} <= set(
+        transactions.columns
+    )
+    if has_fees:
+        gas = F.col("receipt_gas_used").cast("decimal(38,0)")
+        fee = F.try_multiply(gas, F.col("receipt_effective_gas_price"))
+        fee_legs = (
+            transactions.withColumn("__fee", fee)
+            .filter(F.col("__fee").isNotNull() & (F.col("__fee") != 0))
+            .select(
+                "block_number",
+                F.col("from_address").alias("address"),
+                (-F.col("__fee")).alias("delta"),
+            )
+        )
+        legs = legs.unionByName(fee_legs)
+        if blocks is not None:
+            bcols = ["number", "miner"] + (
+                ["base_fee_per_gas"] if "base_fee_per_gas" in blocks.columns else []
+            )
+            b = blocks.select(*bcols).withColumnRenamed("number", "block_number")
+            if "base_fee_per_gas" not in b.columns:
+                b = b.withColumn("base_fee_per_gas", F.lit(None).cast("long"))
+            tip = F.try_subtract(
+                fee,
+                F.try_multiply(
+                    gas, F.coalesce(F.col("base_fee_per_gas").cast("decimal(38,0)"), F.lit(0))
+                ),
+            )
+            miner_legs = (
+                transactions.join(F.broadcast(b), on="block_number", how="inner")
+                .withColumn("__tip", tip)
+                .filter(
+                    F.col("miner").isNotNull()
+                    & F.col("__tip").isNotNull()
+                    & (F.col("__tip") > 0)
+                )
+                .select(
+                    "block_number",
+                    F.col("miner").alias("address"),
+                    F.col("__tip").alias("delta"),
+                )
+            )
+            legs = legs.unionByName(miner_legs)
     legs = legs.filter(
         F.col("address").isNotNull() & ~F.col("address").isin(NULL_ADDRESSES)
     )

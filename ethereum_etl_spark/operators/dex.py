@@ -352,7 +352,15 @@ def extract_dex_trades_v3(
         .orderBy("log_index")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    sqrtp = F.when(F.col("event_name") == "Swap", _pe("sqrtPriceX96"))
+    # sqrtPriceX96 is uint160 (max ~1.46e48): decode straight to double —
+    # routing it through hex_to_dec38 NULLs above Decimal(38,0) and extreme
+    # decimal-skew pairs would silently price at 0 / a stale mark (ADVICE r2)
+    from ethereum_etl_spark.functions.hex import hex_to_double
+
+    sqrtp = F.when(
+        F.col("event_name") == "Swap",
+        hex_to_double(F.col("parsed_event")["sqrtPriceX96"]),
+    )
     ev = ev.withColumn("__sqrtp", F.last(sqrtp, ignorenulls=True).over(w))
     scalars_diff = F.col("__s1") / F.col("__s0")
     price0 = F.when(
@@ -593,4 +601,128 @@ def extract_dex_trades_balancer(parsed_logs: DataFrame, tokens: DataFrame) -> Da
         "factory_address",
         F.lit(None).cast("string").alias("wallet_address"),
         F.lit("balancer_v2").alias("amm"),
+    )
+
+
+# Curve stable-swap pools (reference service/dex/curve/curve.py:36-47 event
+# enum; CurvePoolv1.json ABI): N-coin pools address their legs by COIN INDEX
+# (int128 sold_id/bought_id), resolved against the pool's coin array —
+# structurally different from the 2-token pair families above.
+CURVE_ABIS = [
+    EventAbi(
+        name="TokenExchange",
+        inputs=[
+            {"name": "buyer", "type": "address", "indexed": True},
+            {"name": "sold_id", "type": "int128", "indexed": False},
+            {"name": "tokens_sold", "type": "uint256", "indexed": False},
+            {"name": "bought_id", "type": "int128", "indexed": False},
+            {"name": "tokens_bought", "type": "uint256", "indexed": False},
+        ],
+        namespace="curve",
+        contract_name="pool",
+    ),
+    EventAbi(
+        name="TokenExchangeUnderlying",
+        inputs=[
+            {"name": "buyer", "type": "address", "indexed": True},
+            {"name": "sold_id", "type": "int128", "indexed": False},
+            {"name": "tokens_sold", "type": "uint256", "indexed": False},
+            {"name": "bought_id", "type": "int128", "indexed": False},
+            {"name": "tokens_bought", "type": "uint256", "indexed": False},
+        ],
+        namespace="curve",
+        contract_name="pool",
+    ),
+]
+
+
+def extract_dex_trades_curve(
+    parsed_logs: DataFrame, pools: DataFrame, tokens: DataFrame
+) -> DataFrame:
+    """Curve TokenExchange / TokenExchangeUnderlying → dex_trades rows
+    (curve.py get_swap_from_exchange_event :514-556 /
+    get_swap_from_underlying_event :558-603):
+
+    - tokens = [coins[sold_id], coins[bought_id]] where coins is the pool's
+      N-coin array — token_addresses for TokenExchange, the pool's
+      underlying coin array for TokenExchangeUnderlying (falling back to
+      token_addresses when the pool has no underlying set, the reference's
+      non-metapool fallback :214-224);
+    - amounts = [tokens_sold/10^d_i, -tokens_bought/10^d_j];
+    - prices = [|a1/a0|, |a0/a1|] (the two-token price pair the reference
+      derives from the swap itself); reserves = 0 (its RPC-error fallback —
+      get_pool_finances point-calls get_dy per coin pair, unavailable to a
+      lake engine);
+    - an out-of-range coin index yields NULL legs and the row is dropped,
+      mirroring the reference's resolve failure skip.
+
+    ``pools`` may carry an optional ``underlying_token_addresses``
+    array column next to the POOL_DDL shape."""
+    pool_cols = [
+        F.col("address").alias("contract_address"),
+        "factory_address",
+        "token_addresses",
+    ]
+    has_underlying = "underlying_token_addresses" in pools.columns
+    if has_underlying:
+        pool_cols.append("underlying_token_addresses")
+    p = F.broadcast(pools.select(*pool_cols))
+    ev = parsed_logs.filter(
+        F.array_contains(F.col("namespace"), "curve")
+        & F.col("event_name").isin("TokenExchange", "TokenExchangeUnderlying")
+    ).join(p, on="contract_address", how="inner")
+    if not has_underlying:
+        ev = ev.withColumn(
+            "underlying_token_addresses", F.lit(None).cast("array<string>")
+        )
+    coins = F.when(
+        (F.col("event_name") == "TokenExchangeUnderlying")
+        & F.col("underlying_token_addresses").isNotNull()
+        & (F.size("underlying_token_addresses") > 0),
+        F.col("underlying_token_addresses"),
+    ).otherwise(F.col("token_addresses"))
+    # sold_id/bought_id are tiny int128 → decimal strings from the signed
+    # static decode; try_cast guards crafted giants under ANSI
+    i = F.col("parsed_event")["sold_id"].try_cast("int")
+    j = F.col("parsed_event")["bought_id"].try_cast("int")
+    ev = (
+        ev.withColumn("__coins", coins)
+        .withColumn("__ti", F.when((i >= 0) & (i < F.size("__coins")), F.get("__coins", i)))
+        .withColumn("__tj", F.when((j >= 0) & (j < F.size("__coins")), F.get("__coins", j)))
+        .filter(F.col("__ti").isNotNull() & F.col("__tj").isNotNull())
+    )
+    tok = tokens.select("address", "decimals")
+    ev = (
+        ev.join(
+            F.broadcast(tok.select(F.col("address").alias("__ti"), F.col("decimals").alias("__di"))),
+            on="__ti", how="left",
+        )
+        .join(
+            F.broadcast(tok.select(F.col("address").alias("__tj"), F.col("decimals").alias("__dj"))),
+            on="__tj", how="left",
+        )
+        .withColumn(
+            "__a0",
+            _pe("tokens_sold") / F.pow(F.lit(10.0), F.coalesce("__di", F.lit(18))),
+        )
+        .withColumn(
+            "__a1",
+            -_pe("tokens_bought") / F.pow(F.lit(10.0), F.coalesce("__dj", F.lit(18))),
+        )
+    )
+    p0 = F.when(F.col("__a0") != 0, F.abs(F.col("__a1") / F.col("__a0"))).otherwise(F.lit(0.0))
+    p1 = F.when(F.col("__a1") != 0, F.abs(F.col("__a0") / F.col("__a1"))).otherwise(F.lit(0.0))
+    return ev.select(
+        F.array(F.col("__a0"), F.col("__a1")).alias("token_amounts"),
+        F.col("contract_address").alias("pool_address"),
+        "transaction_hash",
+        "log_index",
+        "block_number",
+        F.lit("swap").alias("event_type"),
+        F.array(F.lit(0.0), F.lit(0.0)).alias("token_reserves"),
+        F.array(p0, p1).alias("token_prices"),
+        F.array(F.col("__ti"), F.col("__tj")).alias("token_addresses"),
+        "factory_address",
+        F.col("parsed_event")["buyer"].alias("wallet_address"),
+        F.lit("curve").alias("amm"),
     )

@@ -148,9 +148,12 @@ def _decode_param(word, ptype: str):
 
 
 def _w_small(word):
-    """Offset/length word → long; NULL unless it has ≤15 significant hex
-    digits (malformed giants must not throw under ANSI — transfers.py rule)."""
-    return F.when(word.rlike("^0{49}"), F.conv(word, 16, 10).cast("long"))
+    """Offset/length word → long; NULL unless it has ≤7 significant hex
+    digits (max 2^28-1). Malformed giants must not throw under ANSI — the
+    downstream (off/32).cast('int') and (ln*2).cast('int') arithmetic stays
+    safely inside int range for any value this guard admits, so no cast in
+    the dynamic-tail decode can raise CAST_OVERFLOW (transfers.py rule)."""
+    return F.when(word.rlike("^0{57}"), F.conv(word, 16, 10).cast("long"))
 
 
 def _decode_dynamic(head_word, ptype: str, w_arr, data):

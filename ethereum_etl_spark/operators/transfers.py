@@ -104,13 +104,15 @@ def extract_token_transfers(logs: DataFrame) -> DataFrame:
     # ERC-1155 batch: ABI (uint256[], uint256[]) — offsets are bytes from
     # data start; word index = offset/32; at each offset: length, items…
     def w_small(word):
-        # offset/length words must be tiny; a malformed word ≥ 2^60 would
-        # make conv(...).cast('long') THROW under Spark 4 ANSI mode and
-        # poison the whole batch — require 49 leading zero hex chars
-        # (≤ 15 significant digits, exact in conv) and yield NULL otherwise
-        # so the row falls through batch_ok and is skipped, matching the
-        # reference's DecodingError-skip (token_transfer_extractor.py:150-157)
-        return F.when(word.rlike("^0{49}"), F.conv(word, 16, 10).cast("long"))
+        # offset/length words must be tiny; a malformed big word would make
+        # conv(...).cast(...) THROW under Spark 4 ANSI mode and poison the
+        # whole batch — require 57 leading zero hex chars (≤ 7 significant
+        # digits, max 2^28-1, safe through the /32 and +len int arithmetic
+        # below) and yield NULL otherwise so the row falls through batch_ok
+        # and is skipped, matching the reference's DecodingError-skip
+        # (token_transfer_extractor.py:150-157). A real log's data section
+        # is KBs, nowhere near a 2^28-byte offset.
+        return F.when(word.rlike("^0{57}"), F.conv(word, 16, 10).cast("long"))
 
     off_ids = (w_small(w(0)) / 32).cast("int")
     off_vals = (w_small(w(1)) / 32).cast("int")

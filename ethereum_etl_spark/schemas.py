@@ -224,6 +224,20 @@ DEX_TRADE_SCHEMA = StructType([
     _f("factory_address", StringType()),
     _f("wallet_address", StringType()),
     _f("amm", StringType()),
+    # J7 enrichment (enrich_dex_trades_job.py:38-108): persisted when the
+    # streamer is configured with stablecoins, NULL otherwise
+    _f("prices_stable", ArrayType(DoubleType())),
+    _f("amount_stable", DoubleType()),
+    _f("owner", StringType()),
+    _f("owner_type", StringType()),
+])
+
+# as-of stable-price observations (PriceService state, made a table)
+PRICE_MARK_SCHEMA = StructType([
+    _f("token_address", StringType(), False),
+    _f("block_number", LongType(), False),
+    _f("log_index", IntegerType(), False),
+    _f("price_stable", DoubleType()),
 ])
 
 ERROR_SCHEMA = StructType([

@@ -71,6 +71,12 @@ class ChainWalSpec:
     # B + reorg_lag — a reorg is detected a confirmation depth later and
     # lands INSIDE ongoing traffic, not as a degenerate tail batch
     reorg_lag: int = 50
+    # shift applied to the fork chain's address/holder salts: with 0 the
+    # fork's transactions touch the SAME keys as the orphaned originals
+    # (hash-only reorg); non-zero models the real-chain case of dropped
+    # transactions — keys touched ONLY by the orphaned block exist, which
+    # the balance repair must still find (ADVICE r2)
+    fork_key_shift: int = 0
     # opt-in DEX traffic: factory PairCreated logs (pool discovery) early in
     # the chain, then per-block Sync+Swap pairs on those pools — drives the
     # streamer's dex_pools/dex_trades entities. Off by default so the
@@ -113,7 +119,7 @@ def _blocks_df(spark: SparkSession, spec: ChainWalSpec, fork_of: DataFrame | Non
     )
 
 
-def _tx_df(spark: SparkSession, spec: ChainWalSpec, blocks: DataFrame):
+def _tx_df(spark: SparkSession, spec: ChainWalSpec, blocks: DataFrame, key_shift: int = 0):
     b = blocks.select("number", "hash", "timestamp")
     return (
         b.withColumn("transaction_index", F.explode(F.sequence(F.lit(0), F.lit(spec.txs_per_block - 1))))
@@ -123,10 +129,10 @@ def _tx_df(spark: SparkSession, spec: ChainWalSpec, blocks: DataFrame):
             F.col("hash").alias("block_hash"),
             F.col("number").alias("block_number"),
             F.col("transaction_index").cast("int").alias("transaction_index"),
-            _addr("from", (F.col("number") * 13 + F.col("transaction_index")) % 1000).alias("from_address"),
+            _addr("from", (F.col("number") * 13 + F.col("transaction_index") + key_shift) % 1000).alias("from_address"),
             F.when(
                 (F.col("number") + F.col("transaction_index")) % 17 == 0, F.lit(None)
-            ).otherwise(_addr("to", (F.col("number") * 7 + F.col("transaction_index")) % 500)).alias("to_address"),
+            ).otherwise(_addr("to", (F.col("number") * 7 + F.col("transaction_index") + key_shift) % 500)).alias("to_address"),
             F.concat(F.lit("0x"), F.lower(F.hex((F.col("number") % 100 + 1) * 1_000_000_000))).alias("value"),
             F.lit(90000).alias("gas"),
             F.concat(F.lit("0x"), F.lower(F.hex(F.lit(20_000_000_000) + F.col("number") % 5))).alias("gas_price"),
@@ -162,7 +168,7 @@ def _receipt_df(spec: ChainWalSpec, txs: DataFrame):
     )
 
 
-def _log_df(spec: ChainWalSpec, txs: DataFrame):
+def _log_df(spec: ChainWalSpec, txs: DataFrame, key_shift: int = 0):
     """ERC-20 Transfer logs; hot-key skew on token address."""
     t = txs.withColumn(
         "li", F.explode(F.sequence(F.lit(0), F.lit(spec.logs_per_tx - 1)))
@@ -173,8 +179,8 @@ def _log_df(spec: ChainWalSpec, txs: DataFrame):
     token = F.when(
         F.pmod(F.xxhash64(seqno), F.lit(100)) < spec.hot_fraction_pct, F.lit(HOT_TOKEN)
     ).otherwise(_addr("token", seqno % 37))
-    from_a = _addr("holder", seqno % 211)
-    to_a = _addr("holder", (seqno + 1) % 211)
+    from_a = _addr("holder", (seqno + key_shift) % 211)
+    to_a = _addr("holder", (seqno + 1 + key_shift) % 211)
     value_word = _word_from((seqno % 1000 + 1) * F.lit(1_000_000))
     return t.select(
         (F.col("transaction_index") * spec.logs_per_tx + F.col("li")).cast("int").alias("log_index"),
@@ -409,9 +415,9 @@ def generate_chain_wal(spark: SparkSession, spec: ChainWalSpec) -> DataFrame:
     if spec.reorg_blocks:
         rb = spark.createDataFrame([(b,) for b in spec.reorg_blocks], ["number"])
         fork_blocks = _blocks_df(spark, spec, fork_of=rb)
-        fork_txs = _tx_df(spark, spec, fork_blocks)
+        fork_txs = _tx_df(spark, spec, fork_blocks, key_shift=spec.fork_key_shift)
         fork_receipts = _receipt_df(spec, fork_txs)
-        fork_logs = _log_df(spec, fork_txs)
+        fork_logs = _log_df(spec, fork_txs, key_shift=spec.fork_key_shift)
         if spec.dex_pools > 0:
             # the fork chain carries dex traffic too (fork tx hashes differ,
             # so the re-emitted swaps are genuinely different trades)

@@ -49,12 +49,37 @@ DEFAULT_ENTITIES = (
     "token", "token_balance", "native_balance", "candle",
 )
 
+# table → the RAW WAL entity its rows derive from: a batch with zero rows
+# of the source entity derives zero rows for the table, so its merge can be
+# skipped from the per-entity batch stats alone (no isEmpty job per table)
+_SOURCE_ENTITY = {
+    "blocks": "block", "transactions": "transaction", "receipts": "receipt",
+    "logs": "log", "geth_traces": "geth_trace", "traces": "geth_trace",
+    "internal_transfers": "geth_trace", "contracts": "geth_trace",
+    "token_transfers": "log", "tokens": "token",
+    "token_balances": "log", "token_balances_latest": "log",
+    "native_balances": "transaction", "native_balances_latest": "transaction",
+    "dex_pools": "log", "price_marks": "log", "dex_trades": "log",
+    "logs_by_address": "log", "transactions_by_address": "transaction",
+    "candles_1m": "log", "candles_5m": "log", "candles_1h": "log",
+    "candles_1d": "log",
+}
+
+# balance families repaired after a reorg: history table → its natural key
+# (minus block_number, which the repair recomputes)
+_BALANCE_KEY_COLS = {
+    "token_balances": ["token_address", "holder_address", "token_id"],
+    "native_balances": ["address"],
+}
+
 # entities whose natural key is unique WITHIN a reorg-free micro-batch by
 # construction (decode of a seq-unique WAL; key embeds the block) — their
 # append-path merges may skip the in-batch dedup window
 _UNIQUE_BATCH_KEY_ENTITIES = frozenset({
     "blocks", "transactions", "receipts", "logs", "geth_traces",
-    "token_balances", "native_balances", "dex_trades", "candles_1h",
+    "token_balances", "native_balances", "dex_trades",
+    "candles_1m", "candles_5m", "candles_1h", "candles_1d",
+    "price_marks",
 })
 
 CANDLE_SCHEMA_DDL = (
@@ -62,6 +87,14 @@ CANDLE_SCHEMA_DDL = (
     "open decimal(38,0), high decimal(38,0), low decimal(38,0),"
     "close decimal(38,0), volume decimal(38,0), trades long"
 )
+
+# resolution tag → (Spark window duration, seconds) — schema.sql's four MVs
+CANDLE_BUCKETS = {
+    "1m": ("1 minute", 60),
+    "5m": ("5 minutes", 300),
+    "1h": ("1 hour", 3600),
+    "1d": ("1 day", 86_400),
+}
 
 
 @dataclass
@@ -94,6 +127,17 @@ class StreamerConfig:
     # late payloads (SURVEY §1.3; LakeTable widens the table on first sight)
     extra_entity_fields: dict = field(default_factory=dict)
     extra_merge_opts: dict = field(default_factory=dict)
+    # J7 in the loop (enrich_dex_trades_job.py:38-108): when set, dex_trades
+    # are persisted ENRICHED — prices_stable/amount_stable from an
+    # accumulating price_marks table (as-of, replay-deterministic) and
+    # owner/owner_type from the per-tx transfer-flow graph. Empty = raw
+    # assembly shape (the r2 behavior).
+    stablecoins: tuple[str, ...] = ()
+    # multi-resolution candles (reference maintains 1m/5m/1h/1d MVs,
+    # schema.sql:38-60,147-169,228-250,309-331). Each bucket is its own
+    # candles_{b} table maintained by the same deferred replay-safe
+    # recompute; "5m" is accepted too.
+    candle_buckets: tuple[str, ...] = ("1m", "1h", "1d")
 
 
 # which raw entities each derived/enriched entity needs —
@@ -132,7 +176,28 @@ class ChainStreamer:
         self.watermarks = WatermarkStore(f"{cfg.warehouse}/_checkpoints/watermarks.json")
         self.lineage = LineageLog(f"{cfg.warehouse}/_checkpoints/lineage.jsonl")
         self.tables: dict[str, LakeTable] = {}
+        # cross-cycle dimension snapshot cache: table → (version, cached df)
+        self._dim_cache: dict[str, tuple[int, DataFrame]] = {}
         self._init_tables()
+
+    def _dim_snapshot(self, name: str, cols: list[str]) -> DataFrame:
+        """Committed dimension read, cached ACROSS cycles until the table
+        version changes (VERDICT r2: re-reading ~3M pools every few seconds
+        at the tail). Materialized eagerly (count) so a later merge's
+        snapshot GC can never invalidate the cached lineage; combined with
+        the empty-batch merge skip, quiet dims keep one version for many
+        cycles and this read costs nothing."""
+        t = self.tables[name]
+        v = t.current_version()
+        ent = self._dim_cache.get(name)
+        if ent is not None and ent[0] == v:
+            return ent[1]
+        if ent is not None:
+            ent[1].unpersist()
+        df = t.read().select(*cols).cache()
+        df.count()
+        self._dim_cache[name] = (v, df)
+        return df
 
     # ---------- tables ----------
 
@@ -197,6 +262,12 @@ class ChainStreamer:
             tbl("dex_pools", ENTITY_SCHEMAS["dex_pool"], ENTITY_KEYS["dex_pool"])
         if "dex_trade" in want:
             tbl("dex_trades", ENTITY_SCHEMAS["dex_trade"], ENTITY_KEYS["dex_trade"])
+            if self.cfg.stablecoins:
+                from ethereum_etl_spark.schemas import PRICE_MARK_SCHEMA
+
+                tbl("price_marks", PRICE_MARK_SCHEMA,
+                    ["token_address", "block_number", "log_index"],
+                    stamped=False)
         if self.cfg.projections:
             if "log" in want:
                 # re-keyed copy: lookups by emitting contract address
@@ -206,14 +277,19 @@ class ChainStreamer:
                 tbl("transactions_by_address", _enriched_tx_schema(),
                     ["from_address", "block_number", "hash"])
         if "candle" in want and "token_transfer" in want:
-            tbl(
-                "candles_1h",
-                StructType.fromDDL(CANDLE_SCHEMA_DDL),
-                ["token_address", "bucket_epoch"],
-                prune="bucket_epoch",
-                psize=86_400,  # one lake partition per day of candles
-                stamped=False,
-            )
+            for b in self.cfg.candle_buckets:
+                secs = CANDLE_BUCKETS[b][1]
+                tbl(
+                    f"candles_{b}",
+                    StructType.fromDDL(CANDLE_SCHEMA_DDL),
+                    ["token_address", "bucket_epoch"],
+                    prune="bucket_epoch",
+                    # ~one lake partition per day of 1m/5m/1h candles, per
+                    # month of 1d candles (partition counts stay balanced
+                    # across resolutions)
+                    psize=86_400 if secs < 86_400 else 86_400 * 32,
+                    stamped=False,
+                )
 
     # ---------- one sync cycle ----------
 
@@ -266,11 +342,14 @@ class ChainStreamer:
 
         want = set(self.cfg.entity_types)
         token_transfers = None
+        enriched_tx = None
         if "block" in want:
             add("blocks", stamp(get("block"), "block", ts_col="timestamp"))
         if "transaction" in want:
-            tx = enrich_transactions(get("transaction"), get("receipt"), self.cfg.strict_counts)
-            add("transactions", stamp(tx, "transaction", ts_col="block_timestamp"))
+            enriched_tx = enrich_transactions(
+                get("transaction"), get("receipt"), self.cfg.strict_counts
+            )
+            add("transactions", stamp(enriched_tx, "transaction", ts_col="block_timestamp"))
         if "receipt" in want:
             add("receipts", stamp(get("receipt"), "receipt"))
         if "log" in want:
@@ -335,7 +414,14 @@ class ChainStreamer:
             )
         if "native_balance" in want:
             carry = self.tables["native_balances_latest"].read()
-            nb = native_balances_from_transactions(get("transaction"), carry_in=carry).cache()
+            # the ENRICHED tx frame (receipt gas fields joined) turns on the
+            # fee debit; blocks provide the miner tip credit — same formula
+            # the reorg recompute applies over the committed tables
+            nb = native_balances_from_transactions(
+                enriched_tx if enriched_tx is not None else get("transaction"),
+                carry_in=carry,
+                blocks=get("block") if "block" in want else None,
+            ).cache()
             if aux_cache is not None:
                 aux_cache.append(nb)
             add("native_balances", stamp(nb, "native_balance"))
@@ -371,65 +457,181 @@ class ChainStreamer:
             # merge's snapshot GC.
             from ethereum_etl_spark.operators.dex import (
                 BALANCER_V2_ABIS,
+                CURVE_ABIS,
                 UNISWAP_V2_ABIS,
                 UNISWAP_V3_ABIS,
                 extract_dex_trades,
                 extract_dex_trades_balancer,
+                extract_dex_trades_curve,
                 extract_dex_trades_v3,
             )
             from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
 
             batch_pools = dex_pools_batch
             batch_tokens = get("token") if "token" in want else None
+            batch_transfers = token_transfers
+            stables = [s.lower() for s in self.cfg.stablecoins]
+            cell: dict = {}  # per-batch memo shared by price_marks/dex_trades
 
-            def _trades():
+            def _parsed():
+                if "parsed" not in cell:
+                    # ONE parse pass over the batch logs with the combined
+                    # AMM inventory (topic0s are disjoint across families) —
+                    # the reference's per-namespace resolver dispatch; cached:
+                    # probes + 3 extractors + marks all read it
+                    all_abis = (
+                        UNISWAP_V2_ABIS + UNISWAP_V3_ABIS + BALANCER_V2_ABIS + CURVE_ABIS
+                    )
+                    inv = build_inventory(self.spark, all_abis)
+                    parsed = parse_logs(get("log"), inv, all_abis).cache()
+                    if aux_cache is not None:
+                        aux_cache.append(parsed)
+                    cell["parsed"] = parsed
+                return cell["parsed"]
+
+            def _dims():
+                """(pools, tokens) dims, KEY-FILTERED to the batch's probe
+                sets before broadcast (VERDICT r2 'what's wrong #2': mainnet
+                has ~3M pools / ~1M tokens — broadcasting the full dims every
+                cycle rebuilds a few hundred MB at the tail; the batch only
+                ever probes the handful of addresses its logs touch). The
+                full-dim reads behind the filter come from the cross-cycle
+                snapshot cache (_dim_snapshot)."""
+                if "dims" in cell:
+                    return cell["dims"]
+                parsed = _parsed()
                 pool_cols = ["address", "factory_address", "token_addresses"]
                 if "dex_pools" in self.tables:
-                    pools_dim = self.tables["dex_pools"].read().select(*pool_cols)
+                    pools_dim = self._dim_snapshot("dex_pools", pool_cols)
                 else:
                     pools_dim = batch_pools.select(*pool_cols).dropDuplicates(["address"])
                 tok_cols = ["address", "decimals"]
                 if "tokens" in self.tables:
-                    tokens_dim = self.tables["tokens"].read().select(*tok_cols)
+                    tokens_dim = self._dim_snapshot("tokens", tok_cols)
                 elif batch_tokens is not None:
                     tokens_dim = batch_tokens.select(*tok_cols).dropDuplicates(["address"])
                 else:
                     tokens_dim = self.spark.createDataFrame([], "address string, decimals int")
-                # ONE parse pass over the batch logs with the combined
-                # AMM inventory (topic0s are disjoint across families),
-                # then one extractor per family unioned into dex_trades —
-                # the reference's per-namespace resolver dispatch
-                all_abis = UNISWAP_V2_ABIS + UNISWAP_V3_ABIS + BALANCER_V2_ABIS
-                inv = build_inventory(self.spark, all_abis)
-                parsed = parse_logs(get("log"), inv, all_abis)
-                shape = [
-                    "block_number", "transaction_hash",
-                    F.col("log_index").cast("int").alias("log_index"),
-                    "pool_address", "event_type", "token_amounts",
-                    "token_reserves", "token_prices", "token_addresses",
-                    "factory_address", "wallet_address", "amm",
-                ]
-                trades = (
-                    extract_dex_trades(parsed, pools_dim, tokens_dim).select(*shape)
-                    .unionByName(
-                        extract_dex_trades_v3(parsed, pools_dim, tokens_dim).select(*shape)
-                    )
-                    .unionByName(
-                        extract_dex_trades_balancer(parsed, tokens_dim).select(*shape)
-                    )
+                probe = parsed.select(F.col("contract_address").alias("address")).distinct()
+                pools_f = pools_dim.join(F.broadcast(probe), on="address", how="left_semi")
+                pe = F.col("parsed_event")
+                bal_toks = parsed.filter(
+                    F.array_contains(F.col("namespace"), "balancer_v2")
+                    & (F.col("event_name") == "Swap")
+                ).select(
+                    F.explode(
+                        F.array(F.lower(pe["tokenIn"]), F.lower(pe["tokenOut"]))
+                    ).alias("address")
                 )
-                return stamp(trades, "dex_trade"), {}
+                # tokens the batch can actually join: the filtered pools'
+                # legs + balancer's in-event token addresses
+                tok_probe = (
+                    pools_f.select(F.explode("token_addresses").alias("address"))
+                    .unionByName(bal_toks)
+                    .distinct()
+                )
+                tokens_f = tokens_dim.join(F.broadcast(tok_probe), on="address", how="left_semi")
+                cell["dims"] = (pools_f, tokens_f, pools_dim)
+                return cell["dims"]
+
+            def _raw_trades():
+                if "raw" not in cell:
+                    pools_f, tokens_f, _ = _dims()
+                    parsed = _parsed()
+                    shape = [
+                        "block_number", "transaction_hash",
+                        F.col("log_index").cast("int").alias("log_index"),
+                        "pool_address", "event_type", "token_amounts",
+                        "token_reserves", "token_prices", "token_addresses",
+                        "factory_address", "wallet_address", "amm",
+                    ]
+                    trades = (
+                        extract_dex_trades(parsed, pools_f, tokens_f).select(*shape)
+                        .unionByName(
+                            extract_dex_trades_v3(parsed, pools_f, tokens_f).select(*shape)
+                        )
+                        .unionByName(
+                            extract_dex_trades_balancer(parsed, tokens_f).select(*shape)
+                        )
+                        .unionByName(
+                            extract_dex_trades_curve(parsed, pools_f, tokens_f).select(*shape)
+                        )
+                    )
+                    if stables:
+                        # EAGER localCheckpoint, not cache: the USD/owner
+                        # enrichment references this frame many times and a
+                        # cache only memoizes EXECUTION — Catalyst would
+                        # re-ANALYZE the full 4-extractor union tree per
+                        # reference, which is super-linear and was measured
+                        # as a multi-minute driver-side hang. Checkpointing
+                        # cuts the logical plan to a leaf.
+                        trades = trades.localCheckpoint(eager=True)
+                    cell["raw"] = trades
+                return cell["raw"]
+
+            if stables:
+                from ethereum_etl_spark.operators.pricing import stable_price_marks
+
+                def _marks():
+                    marks = stable_price_marks(_raw_trades(), stables)
+                    return (
+                        marks.select(
+                            "token_address", "block_number",
+                            F.col("log_index").cast("int").alias("log_index"),
+                            "price_stable",
+                        ),
+                        {"version_col": None},
+                    )
+
+                add("price_marks", None, df_fn=_marks)
+
+            def _trades():
+                # J7 in the loop (enrich_dex_trades_job.py:38-108): persist
+                # the enriched+priced+owned shape, not the raw assembly.
+                # Pricing reads the COMMITTED price_marks table (this batch's
+                # marks included — DEPS orders that merge first), so the
+                # as-of never sees future marks and replay is deterministic.
+                raw = _raw_trades()
+                if not stables:
+                    return stamp(raw, "dex_trade"), {}
+                from ethereum_etl_spark.operators.pricing import enrich_trades_usd
+                from ethereum_etl_spark.operators.swap_owner import detect_swap_owners
+
+                marks_tbl = self.tables["price_marks"].read()
+                priced = enrich_trades_usd(raw, stables, marks=marks_tbl)
+                # same plan-cut rationale as _raw_trades: owner detection
+                # joins this frame several times
+                priced = priced.localCheckpoint(eager=True)
+                if batch_transfers is not None:
+                    _, _, pools_dim = _dims()
+                    # owner detection must exclude EVERY known pool wallet,
+                    # not just the batch's emitting pools — semi-join the
+                    # full dim on the batch's transfer endpoints instead of
+                    # broadcasting 3M pool addresses
+                    wallets = batch_transfers.select(
+                        F.explode(
+                            F.array("from_address", "to_address")
+                        ).alias("address")
+                    ).distinct()
+                    pools_owner = pools_dim.join(wallets, on="address", how="left_semi")
+                    out = detect_swap_owners(priced, batch_transfers, pools_owner)
+                else:
+                    out = priced.withColumn(
+                        "owner", F.lower(F.col("pool_address"))
+                    ).withColumn("owner_type", F.lit("pool"))
+                return stamp(out, "dex_trade"), {}
 
             add("dex_trades", None, df_fn=_trades)
         if "candle" in want and token_transfers is not None:
-            # deferred: recompute OHLCV for the hour buckets this batch
-            # touches, FROM the committed token_transfers table (phase 2 —
-            # after its merge), then MERGE keyed (token, bucket). This is
-            # the deterministic replay-safe alternative to streaming-state
-            # candles (SURVEY §7 'reorg vs streaming state').
+            # deferred: recompute OHLCV for the buckets this batch touches,
+            # FROM the committed token_transfers table (phase 2 — after its
+            # merge), then MERGE keyed (token, bucket), once per configured
+            # resolution. This is the deterministic replay-safe alternative
+            # to streaming-state candles (SURVEY §7 'reorg vs streaming
+            # state').
             batch_tt = token_transfers
 
-            def _candles():
+            def _candles(duration, secs):
                 from pyspark.sql import functions as SF
 
                 from ethereum_etl_spark.operators.candles import ohlcv
@@ -437,7 +639,7 @@ class ChainStreamer:
                 buckets = [
                     r[0]
                     for r in batch_tt.select(
-                        (SF.floor(SF.col("block_timestamp") / 3600) * 3600).alias("b")
+                        (SF.floor(SF.col("block_timestamp") / secs) * secs).alias("b")
                     )
                     .distinct()
                     .collect()
@@ -448,12 +650,21 @@ class ChainStreamer:
                 stored = self.tables["token_transfers"].read()
                 src = (
                     stored.filter(
-                        SF.col("block_timestamp").between(lo_b, hi_b + 3599)
+                        SF.col("block_timestamp").between(lo_b, hi_b + secs - 1)
                     )
                     .withColumn(
-                        "bucket_epoch", SF.floor(SF.col("block_timestamp") / 3600) * 3600
+                        "bucket_epoch", SF.floor(SF.col("block_timestamp") / secs) * secs
                     )
-                    .filter(SF.col("bucket_epoch").isin(buckets))
+                )
+                if len(buckets) <= 256:
+                    # sparse-bucket prune; a dense set (whole-WAL replay at
+                    # 1m resolution = 10^4 buckets) would plan a 10^4-literal
+                    # isin for nothing — the range filter already bounds the
+                    # scan, and recomputing an untouched in-range bucket is
+                    # an idempotent no-op
+                    src = src.filter(SF.col("bucket_epoch").isin(buckets))
+                src = (
+                    src
                     .withColumn("ts", SF.to_timestamp("block_timestamp"))
                     .withColumn(
                         "tb", SF.struct(SF.col("block_number"), SF.col("log_index"))
@@ -461,7 +672,7 @@ class ChainStreamer:
                 )
                 cand = ohlcv(
                     src, key_col="token_address", ts_col="ts",
-                    value_col="value", tiebreak_col="tb", bucket="1 hour",
+                    value_col="value", tiebreak_col="tb", bucket=duration,
                 ).withColumn("bucket_epoch", SF.unix_timestamp("bucket_start"))
                 cand = cand.select(
                     "token_address", "bucket_epoch", "bucket_start",
@@ -471,7 +682,16 @@ class ChainStreamer:
                 )
                 return cand, {"touched_range": (lo_b, hi_b), "version_col": None}
 
-            add("candles_1h", None, df_fn=_candles, full_touch=True)
+            import functools
+
+            for b in self.cfg.candle_buckets:
+                duration, secs = CANDLE_BUCKETS[b]
+                add(
+                    f"candles_{b}",
+                    None,
+                    df_fn=functools.partial(_candles, duration, secs),
+                    full_touch=True,
+                )
         return out
 
     def sync_cycle(
@@ -508,23 +728,35 @@ class ChainStreamer:
         __t = time.time()
         batch = batch.cache()
 
-        # ONE stats pass over the batch: block span + reorg presence. The
-        # span becomes the touched-partition hint for every table MERGE —
-        # no per-table discovery scans.
-        stats = batch.agg(
-            F.min("block_number").alias("lo"),
-            F.max("block_number").alias("hi"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.when(F.col("op") == "reorg", 1).otherwise(0)).alias("n_reorg"),
-        ).first()
-        if stats["lo"] is None:  # empty range
+        # ONE stats pass over the batch, grouped by entity_type: block span
+        # + reorg presence + PER-ENTITY row counts. The span becomes the
+        # touched-partition hint for every table MERGE (no per-table
+        # discovery scans) and the counts let _merge_one skip merges whose
+        # SOURCE entity is absent from the batch without launching an
+        # isEmpty job per table.
+        srows = (
+            batch.groupBy("entity_type")
+            .agg(
+                F.min("block_number").alias("lo"),
+                F.max("block_number").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("op") == "reorg", 1).otherwise(0)).alias("nr"),
+            )
+            .collect()
+        )
+        if not srows:  # empty range
             batch.unpersist()
             return {"entities": [], "reorg": False, "rows": 0}
-        lo_bn, hi_bn = int(stats["lo"]), int(stats["hi"])
+        raw_counts = {r["entity_type"]: int(r["n"]) for r in srows}
+        lo_bn = min(int(r["lo"]) for r in srows)
+        hi_bn = max(int(r["hi"]) for r in srows)
+        n_events = sum(raw_counts.values())
+        n_reorg = sum(int(r["nr"]) for r in srows)
         phase_secs["stats"] = round(time.time() - __t, 3)
-        has_reorg = (stats["n_reorg"] or 0) > 0 or bool(force_delete_blocks)
+        has_reorg = n_reorg > 0 or bool(force_delete_blocks)
 
         reorg_blocks: list[int] = list(force_delete_blocks or [])
+        pre_keys_captured = False
         if has_reorg:
             # winning (latest-seq) hash per superseded block
             # (clickhouse_eth_streamer_adapter.py:815-890)
@@ -553,6 +785,15 @@ class ChainStreamer:
                 )
                 .drop("__winning_hash")
             )
+            # BEFORE the merges delete the orphaned rows: journal the balance
+            # keys that currently have history AT the reorged blocks. A key
+            # touched only by an orphaned transaction (the dropped-tx case)
+            # leaves no post-merge trace there, yet its carry-forward rows
+            # are poisoned — the repair below must still find it (ADVICE r2).
+            if reorg_blocks:
+                pre_keys_captured = self._journal_pre_reorg_keys(
+                    reorg_blocks, batch_id
+                )
 
         __t = time.time()
         get, cache = self._decode_batch(batch)
@@ -585,6 +826,20 @@ class ChainStreamer:
                     [(b,) for b in reorg_blocks], f"{prune} long"
                 )
                 dkc = [prune]
+            # skip merges with provably nothing to do: source entity absent
+            # from the batch (free — from the stats pass), or — for the two
+            # dimension tables whose VERSION gates the cross-cycle snapshot
+            # cache — an isEmpty probe on the (cached) derived frame. The
+            # version staying put is what lets _dim_snapshot serve pools/
+            # tokens from memory at the chain tail. Replay safety: an empty
+            # batch replays to an empty batch.
+            src_ent = _SOURCE_ENTITY.get(name)
+            if dk is None and (
+                (src_ent is not None and raw_counts.get(src_ent, 0) == 0)
+                or (name in ("dex_pools", "tokens") and df.isEmpty())
+            ):
+                merge_secs[name] = round(time.time() - __t0, 3)
+                return
             version_col = spec.get(
                 "version_col",
                 "_ingest_seq" if "_ingest_seq" in df.columns else None,
@@ -638,10 +893,11 @@ class ChainStreamer:
         # cached balance plan materialized by their history merge, which also
         # guards the carry-file GC race).
         DEPS = {
-            "candles_1h": ["token_transfers"],
+            **{f"candles_{b}": ["token_transfers"] for b in CANDLE_BUCKETS},
             "token_balances_latest": ["token_balances"],
             "native_balances_latest": ["native_balances"],
-            "dex_trades": ["dex_pools", "tokens"],
+            "price_marks": ["dex_pools", "tokens"],
+            "dex_trades": ["dex_pools", "tokens", "price_marks"],
         }
         if self.cfg.parallel_merges and len(derived) > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -681,7 +937,9 @@ class ChainStreamer:
             # already absorbed the orphaned deltas). Recompute those keys
             # from the now-committed transfer/transaction tables (the same
             # deferred-recompute pattern candles use).
-            self._reorg_fix_balances(reorg_blocks, hi_bn, batch_id)
+            self._reorg_fix_balances(
+                reorg_blocks, hi_bn, batch_id, use_journal=pre_keys_captured
+            )
         phase_secs["reorg_fix"] = round(time.time() - __t, 3)
 
         if self.cfg.collect_errors:
@@ -695,12 +953,70 @@ class ChainStreamer:
             "reorg": bool(has_reorg),
             "lo_block": lo_bn,
             "hi_block": hi_bn,
-            "n_events": int(stats["n_events"]),
+            "n_events": n_events,
             "merge_secs": merge_secs,
             "phase_secs": phase_secs,
         }
 
     # ---------- reorg balance repair ----------
+
+    def _repair_journal(self) -> LakeTable:
+        """Tiny append-only journal of pre-merge affected balance keys, one
+        row set per reorg batch. Append is idempotent per batch_id, so a
+        crash between the phase-1 merges and the repair replays into the SAME
+        journaled key set — the repair never depends on state the merges
+        already destroyed."""
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+
+        if "_reorg_repair_keys" not in self.tables:
+            self.tables["_reorg_repair_keys"] = LakeTable.create(
+                self.spark,
+                f"{self.cfg.warehouse}/_reorg_repair_keys",
+                StructType([
+                    StructField("block_lo", LongType(), False),
+                    StructField("table_name", StringType(), False),
+                    StructField("key_json", StringType(), False),
+                    StructField("repair_batch_id", StringType(), False),
+                ]),
+                key=["block_lo", "table_name", "key_json", "repair_batch_id"],
+                prune_col="block_lo",
+                partition_size=self.cfg.partition_size,
+                if_not_exists=True,
+            )
+        return self.tables["_reorg_repair_keys"]
+
+    def _journal_pre_reorg_keys(self, reorg_blocks: list[int], batch_id: str) -> bool:
+        """Capture, BEFORE the phase-1 merges run, the balance keys that have
+        a history row AT the reorged blocks (every key touched by an orphaned
+        transfer wrote one). Journaled distributed — never collected to the
+        driver. Returns True when the journal holds this batch's keys (fresh
+        capture or an earlier attempt's — the append is batch_id-idempotent,
+        and on a crash replay the journaled set from the first attempt is the
+        correct pre-merge one)."""
+        mn, mx = min(reorg_blocks), max(reorg_blocks)
+        rows = None
+        for name, cols in _BALANCE_KEY_COLS.items():
+            if name not in self.tables:
+                continue
+            df = (
+                self.tables[name]
+                .read(prune_min=mn, prune_max=mx)
+                .filter(F.col("block_number").isin(reorg_blocks))
+                .select(
+                    F.lit(mn).cast("long").alias("block_lo"),
+                    F.lit(name).alias("table_name"),
+                    F.to_json(F.struct(*cols)).alias("key_json"),
+                    F.lit(batch_id).alias("repair_batch_id"),
+                )
+                .distinct()
+            )
+            rows = df if rows is None else rows.unionByName(df)
+        if rows is None:
+            return False
+        self._repair_journal().append(rows, batch_id=f"{batch_id}/reorg-keys")
+        return True
 
     def _ns_join(self, left, right, cols: list[str], how: str):
         """Join on null-safe key equality (token_id is NULL for ERC-20)."""
@@ -712,7 +1028,13 @@ class ChainStreamer:
         out = left.join(F.broadcast(r), on=cond, how=how)
         return out.drop(*[f"__r_{c}" for c in cols]) if how == "inner" else out
 
-    def _reorg_fix_balances(self, reorg_blocks: list[int], hi_bn: int, batch_id: str) -> None:
+    def _reorg_fix_balances(
+        self,
+        reorg_blocks: list[int],
+        hi_bn: int,
+        batch_id: str,
+        use_journal: bool = False,
+    ) -> None:
         """Repair balance tables after a reorg (ADVICE r1: the carry-in from
         the latest-balance table already contained the orphaned blocks'
         deltas, so the phase-1 incremental merge leaves every affected key
@@ -721,10 +1043,13 @@ class ChainStreamer:
         arrival reorg_lag later).
 
         Method, per balance family:
-        1. affected keys = keys with a history row AT a reorged block (every
-           key touched by an orphaned or fork transfer has one — balances are
-           written at every touched block). Read post-merge, so this is also
-           crash-replay-safe: no pre-merge snapshot is needed.
+        1. affected keys = PRE-merge keys with a history row AT a reorged
+           block (journaled by _journal_pre_reorg_keys before the merges —
+           the only place orphan-only keys are still visible; ADVICE r2)
+           UNION post-merge keys there (fork-touched keys). Kept distributed
+           end-to-end: a deep reorg over busy blocks can carry 10^5-10^6
+           keys, never collected to the driver; localCheckpoint pins the set
+           before the merges below GC the snapshot files it was read from.
         2. boundary = reorged block rounded down to the lake-partition edge;
            recompute the running sums for the AFFECTED keys over [boundary, hi]
            from the committed (reorg-merged) transfers/transactions, carried
@@ -755,19 +1080,27 @@ class ChainStreamer:
             t = self.tables[hist_name]
             m = t.manifest()
             boundary = (min_rb // m.partition_size) * m.partition_size
-            affected_rows = (
+            akeys_all = (
                 t.read(prune_min=min_rb, prune_max=max(reorg_blocks))
                 .filter(F.col("block_number").isin(reorg_blocks))
                 .select(*key_cols)
-                .distinct()
-                .collect()  # bounded by reorg depth × per-block activity
             )
-            if not affected_rows:
+            if use_journal:
+                kschema = StructType([m.schema[c] for c in key_cols])
+                journaled = (
+                    self._repair_journal()
+                    .read(prune_min=min_rb, prune_max=min_rb)
+                    .filter(
+                        (F.col("repair_batch_id") == batch_id)
+                        & (F.col("table_name") == hist_name)
+                    )
+                    .select(F.from_json("key_json", kschema).alias("k"))
+                    .select("k.*")
+                )
+                akeys_all = akeys_all.unionByName(journaled)
+            akeys = akeys_all.distinct().localCheckpoint(eager=True)
+            if akeys.isEmpty():
                 return
-            schema = StructType(
-                [t.manifest().schema[c] for c in key_cols]
-            )
-            akeys = self.spark.createDataFrame(affected_rows, schema)
             base = None
             if boundary > 0:
                 # carry-in: last pre-boundary row per affected key (the
@@ -829,9 +1162,14 @@ class ChainStreamer:
 
             def recompute_native(boundary, base, akeys):
                 tx = tx_t.read(prune_min=boundary, prune_max=hi_bn)
+                blk = (
+                    self.tables["blocks"].read(prune_min=boundary, prune_max=hi_bn)
+                    if "blocks" in self.tables
+                    else None
+                )
                 return stamp(
                     native_balances_from_transactions(
-                        tx, carry_in=base, key_filter=akeys
+                        tx, carry_in=base, key_filter=akeys, blocks=blk
                     ),
                     "native_balance",
                 )

@@ -54,6 +54,45 @@ def test_native_balances(spark):
     assert got[("0xa", 2)] == -10 + 3
 
 
+def test_native_balances_gas_accounting(spark):
+    """VERDICT r3 item 7: with the receipt join present the sender pays
+    gas_used × effective_gas_price; with blocks present the miner earns the
+    tip (fee − gas × base_fee); the base-fee portion is burned. A crafted
+    uint256 gas price must drop the fee leg, not throw (ANSI)."""
+    ddl = (
+        "from_address string, to_address string, value decimal(38,0),"
+        "block_number long, receipt_gas_used long,"
+        "receipt_effective_gas_price decimal(38,0)"
+    )
+    tx = spark.createDataFrame(
+        [
+            ("0xa", "0xb", Decimal(100), 1, 10, Decimal(3)),   # fee 30, tip 10
+            ("0xb", "0xa", Decimal(5), 2, 20, Decimal(2)),     # fee 40, tip 0
+            ("0xa", "0xb", Decimal(0), 3, 2, Decimal(10**38 - 1)),  # overflow fee → dropped
+        ],
+        ddl,
+    )
+    blocks = spark.createDataFrame(
+        [(1, "0xm", 2), (2, "0xm", 2), (3, "0xm", 2)],
+        "number long, miner string, base_fee_per_gas long",
+    )
+    out = native_balances_from_transactions(tx, blocks=blocks)
+    got = {(r["address"], r["block_number"]): int(r["value"]) for r in out.collect()}
+    assert got[("0xa", 1)] == -100 - 30
+    assert got[("0xb", 1)] == 100
+    assert got[("0xm", 1)] == 10            # tip = 10*(3-2)
+    assert got[("0xb", 2)] == 100 - 5 - 40  # pays value + full fee
+    assert got[("0xa", 2)] == -130 + 5
+    assert ("0xm", 2) not in got            # tip 0 → no leg
+    # block 3: fee overflows Decimal(38,0) → leg dropped, value flow kept
+    assert got[("0xa", 3)] == got[("0xa", 2)] + 0 - 0
+    # no-blocks call: fees debited, no miner credits
+    out2 = native_balances_from_transactions(tx)
+    got2 = {(r["address"], r["block_number"]): int(r["value"]) for r in out2.collect()}
+    assert got2[("0xa", 1)] == -130
+    assert all(a != "0xm" for a, _ in got2)
+
+
 def test_streamer_full_entity_suite(spark, tmp_path):
     spec = ChainWalSpec(start_block=0, end_block=14, txs_per_block=3, logs_per_tx=2)
     wal_path = str(tmp_path / "wal")
@@ -160,3 +199,22 @@ def test_candles_incremental_vs_batch(spark, tmp_path):
         for r in ohlcv(tt, "token_address", "ts", "value", "tb", "1 hour").collect()
     }
     assert got == want and len(got) > 0
+
+    # multi-resolution (VERDICT r3 item 9): 1m and 1d tables maintained by
+    # the same loop must match their one-shot recomputes too
+    for name, dur in [("candles_1m", "1 minute"), ("candles_1d", "1 day")]:
+        got_b = {
+            (r["token_address"], r["bucket_epoch"]): (
+                int(r["open"]), int(r["close"]), int(r["volume"]), r["trades"]
+            )
+            for r in s.tables[name].read().collect()
+        }
+        want_b = {
+            (r["token_address"], int(r["bucket_start"].timestamp())): (
+                int(r["open"]), int(r["close"]), int(r["volume"]), r["trades"]
+            )
+            for r in ohlcv(tt, "token_address", "ts", "value", "tb", dur).collect()
+        }
+        assert got_b == want_b and len(got_b) > 0, name
+    # 1d aggregates strictly coarser than 1h
+    assert len(got) >= s.tables["candles_1d"].read().count()

@@ -90,3 +90,35 @@ def test_enrich_liquidity_and_latest_price(spark):
 
     lp = {r["token_address"]: r["latest_price"] for r in latest_price_per_token(trades).collect()}
     assert lp[T0] == 4.0 and lp[T1] == 0.25
+
+
+def test_v3_extreme_sqrtprice_beyond_dec38(spark):
+    """sqrtPriceX96 is uint160 (max ~1.46e48); values past Decimal(38,0)
+    must still yield a real price (ADVICE r2: routing through hex_to_dec38
+    NULLed them and the trade silently priced at 0)."""
+    import pytest
+
+    from ethereum_etl_spark.operators.dex import (
+        POOL_DDL,
+        TOKEN_DIM_DDL,
+        UNISWAP_V3_ABIS,
+        extract_dex_trades_v3,
+    )
+
+    SWAP3 = UNISWAP_V3_ABIS[0]
+    sqrtp = 2**150  # ~1.4e45 > 1e38: old path overflowed to NULL
+    rows = [
+        (0, "0xtx", 0, "0xb", 50, POOL,
+         "0x" + _w(10**6) + _w((-(4 * 10**18)) % 2**256) + _w(sqrtp)
+         + _w(1) + _w(0),
+         [SWAP3.topic0, _waddr(WALLET), _waddr(WALLET)]),
+    ]
+    logs = spark.createDataFrame(rows, LOG_SCHEMA)
+    inv = build_inventory(spark, UNISWAP_V3_ABIS)
+    parsed = parse_logs(logs, inv, UNISWAP_V3_ABIS)
+    pools, tokens = _dims(spark)
+    t = extract_dex_trades_v3(parsed, pools, tokens).first()
+    # price0 = (sqrtp^2 / 2^192) / (10^18 / 10^6)
+    want = (float(sqrtp) ** 2 / 2**192) / 1e12
+    assert t["token_prices"][0] == pytest.approx(want, rel=1e-12)
+    assert t["token_prices"][1] == pytest.approx(1.0 / want, rel=1e-12)

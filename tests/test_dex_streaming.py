@@ -56,3 +56,61 @@ def test_dex_pipeline_in_streamer(spark):
         wal.unpersist()
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_enriched_dex_trades_in_streamer(spark):
+    """J7 in the loop (VERDICT r2 item 2): with stablecoins configured the
+    streamer persists prices_stable/amount_stable (as-of against the
+    accumulated price_marks table) and owner/owner_type — and the enriched
+    columns survive replay and a reorg."""
+    wh = tempfile.mkdtemp(prefix="dex_enr_wh_")
+    try:
+        n_pools = 5
+        spec = ChainWalSpec(
+            start_block=0, end_block=59, dex_pools=n_pools,
+            reorg_blocks=(10,), reorg_lag=20,
+        )
+        wal = generate_chain_wal(spark, spec).cache()
+        cfg = StreamerConfig(
+            warehouse=wh, batch_size=300, partition_size=16,
+            entity_types=ENTITIES + ("token_transfer",),
+            stablecoins=(DEX_STABLE,),
+        )
+        s = ChainStreamer(spark, cfg)
+        s.run(WalTailer(wal, batch_size=300))
+
+        trades = s.tables["dex_trades"].read()
+        rows = {r["block_number"]: r for r in trades.collect()}
+        assert len(rows) == 60 - n_pools
+        t = rows[20]
+        # stable side (token0) is the base: amount_stable = |amount0| × 1.0
+        assert t["prices_stable"][0] == 1.0
+        assert abs(t["amount_stable"] - (20 % 50 + 1)) < 1e-9
+        assert t["owner"] is not None and t["owner_type"] in (
+            "arbitrage_bot", "wallet", "pool"
+        )
+        # the paired token's stable price comes from the swap's own mark
+        assert t["prices_stable"][1] > 0
+        # marks accumulated in the lake
+        assert s.tables["price_marks"].row_count() > 0
+        # the reorged block's trade reflects the FORK transaction
+        fork_t = rows[10]
+        assert fork_t["transaction_hash"] != ""
+        assert fork_t["amount_stable"] is not None
+
+        # replay: identical enriched rows, not just identical counts
+        def snap(st):
+            return sorted(
+                (r["block_number"], r["log_index"], r["transaction_hash"],
+                 r["amount_stable"], tuple(r["prices_stable"] or []),
+                 r["owner"], r["owner_type"])
+                for r in st.tables["dex_trades"].read().collect()
+            )
+
+        first = snap(s)
+        s2 = ChainStreamer(spark, cfg)
+        s2.run(WalTailer(wal, batch_size=300), start=0)
+        assert snap(s2) == first
+        wal.unpersist()
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -75,6 +75,34 @@ def test_hex_to_dec38(spark):
     assert vals == [c[1] for c in cases]
 
 
+def test_hex_to_double(spark):
+    import pytest
+
+    from ethereum_etl_spark.functions.hex import hex_to_double
+
+    sqrtp = 2**96 * 10**9  # a uint160-scale sqrtPriceX96 (~7.9e37…e48 range)
+    cases = [
+        ("0x10", 16.0),
+        ("0x" + "0" * 64, 0.0),
+        (hex(sqrtp), float(sqrtp)),
+        (hex(2**160 - 1), float(2**160 - 1)),
+        ("123456", 123456.0),
+        ("-42", -42.0),
+        ("~0x" + f"{(-(2**100)) % 2**256:064x}", float(-(2**100))),
+        ("junk", None),
+        ("0x", None),
+        ("0xzz", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], ["h"])
+    vals = [r[0] for r in df.select(hex_to_double(F.col("h"))).collect()]
+    for got, (_, want) in zip(vals, cases):
+        if want is None:
+            assert got is None
+        else:
+            assert got == pytest.approx(want, rel=1e-12)
+
+
 def test_split_to_words_and_address(spark):
     w1 = "0" * 24 + "a" * 40
     w2 = "0" * 63 + "5"

@@ -163,3 +163,33 @@ def test_dynamic_and_signed_abi_decode(spark):
         hex_to_dec38(F.col("parsed_event")["x"]).alias("v")
     ).first()["v"]
     assert v == Decimal(-(2**100))
+
+
+def test_dynamic_decode_poison_offset_yields_null(spark):
+    """A crafted dynamic-param offset with 15 significant hex digits (~2^60)
+    passed the old guard into (off/32).cast('int') and threw CAST_OVERFLOW
+    under Spark 4 ANSI, aborting the batch. It must decode to NULL per the
+    function's malformed-offset contract."""
+    abi = EventAbi(
+        name="S",
+        inputs=[
+            {"name": "s", "type": "string", "indexed": False},
+            {"name": "v", "type": "uint256[]", "indexed": False},
+        ],
+        namespace="t",
+        contract_name="t",
+    )
+    poison = "0" * 49 + "f" * 15  # 16^15-1 ≈ 2^60: old guard admitted this
+    rows = [
+        (0, "0xtx", 0, "0xb", 1, "0x" + "a" * 40,
+         "0x" + poison + poison, [abi.topic0]),
+        # a length-word poison too: valid offset, garbage length at the tail
+        (1, "0xtx", 0, "0xb", 1, "0x" + "a" * 40,
+         "0x" + f"{2*32:064x}" + f"{3*32:064x}" + poison + poison,
+         [abi.topic0]),
+    ]
+    logs = spark.createDataFrame(rows, LOG_SCHEMA)
+    out = {r["log_index"]: r["parsed_event"]
+           for r in parse_logs(logs, build_inventory(spark, [abi]), [abi]).collect()}
+    assert out[0]["s"] is None and out[0]["v"] is None
+    assert out[1]["s"] is None and out[1]["v"] is None

@@ -71,7 +71,9 @@ def test_token_balance_latest_matches_recompute(spark, reorg_warehouse):
 def test_native_balance_history_matches_recompute(spark, reorg_warehouse):
     s = reorg_warehouse
     committed_tx = s.tables["transactions"].read()
-    expected = native_balances_from_transactions(committed_tx)
+    expected = native_balances_from_transactions(
+        committed_tx, blocks=s.tables["blocks"].read()
+    )
     cols = ["address", "block_number", "value"]
     assert _rows(s.tables["native_balances"].read(), cols) == _rows(expected, cols)
 
@@ -80,9 +82,65 @@ def test_native_balance_latest_matches_recompute(spark, reorg_warehouse):
     s = reorg_warehouse
     committed_tx = s.tables["transactions"].read()
     expected = (
-        native_balances_from_transactions(committed_tx)
+        native_balances_from_transactions(committed_tx, blocks=s.tables["blocks"].read())
         .groupBy("address")
         .agg(F.max_by("value", F.col("block_number")).alias("value"))
     )
     cols = ["address", "value"]
     assert _rows(s.tables["native_balances_latest"].read(), cols) == _rows(expected, cols)
+
+
+@pytest.fixture(scope="module")
+def dropped_tx_warehouse(spark):
+    """Reorg where the fork blocks carry DIFFERENT transactions than the
+    orphaned originals (fork_key_shift) — the real-chain dropped-transaction
+    case (ADVICE r2): keys touched ONLY by the orphaned block leave no
+    post-merge history row at the reorged blocks, so a repair that derives
+    its affected-key set post-merge never finds them."""
+    wh = tempfile.mkdtemp(prefix="reorg_drop_wh_")
+    spec = ChainWalSpec(
+        start_block=0, end_block=79, txs_per_block=4, logs_per_tx=2,
+        reorg_blocks=(5, 6), reorg_lag=50, fork_key_shift=97,
+    )
+    wal = generate_chain_wal(spark, spec).cache()
+    cfg = StreamerConfig(warehouse=wh, batch_size=300, partition_size=16)
+    s = ChainStreamer(spark, cfg)
+    s.run(WalTailer(wal, batch_size=300))
+    yield s
+    wal.unpersist()
+    shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_dropped_tx_token_balances_repaired(spark, dropped_tx_warehouse):
+    s = dropped_tx_warehouse
+    committed_tt = s.tables["token_transfers"].read()
+    expected = token_balances_from_transfers(committed_tt)
+    cols = ["token_address", "holder_address", "block_number", "value"]
+    assert _rows(s.tables["token_balances"].read(), cols) == _rows(expected, cols)
+    latest_expected = (
+        expected.groupBy("token_address", "holder_address")
+        .agg(F.max_by("value", F.col("block_number")).alias("value"))
+    )
+    got = s.tables["token_balances_latest"].read().groupBy(
+        "token_address", "holder_address"
+    ).agg(F.max("value").alias("value"))
+    lcols = ["token_address", "holder_address", "value"]
+    assert _rows(got, lcols) == _rows(latest_expected, lcols)
+
+
+def test_dropped_tx_native_balances_repaired(spark, dropped_tx_warehouse):
+    s = dropped_tx_warehouse
+    committed_tx = s.tables["transactions"].read()
+    expected = native_balances_from_transactions(
+        committed_tx, blocks=s.tables["blocks"].read()
+    )
+    cols = ["address", "block_number", "value"]
+    assert _rows(s.tables["native_balances"].read(), cols) == _rows(expected, cols)
+    latest_expected = (
+        expected.groupBy("address")
+        .agg(F.max_by("value", F.col("block_number")).alias("value"))
+    )
+    lcols = ["address", "value"]
+    assert _rows(s.tables["native_balances_latest"].read(), lcols) == _rows(
+        latest_expected, lcols
+    )

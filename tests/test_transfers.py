@@ -73,6 +73,14 @@ def test_all_standards_and_skip_rules(spark):
              "0x" + _word_int(0x40) + _word_int(0xA0)
              + "f" * 64 + _word_int(1) + _word_int(2)
              + _word_int(2) + _word_int(10) + _word_int(20)),
+        # 12: MID-RANGE poison — 15 significant hex digits (~2^60-1) passed
+        # the old ≤15-digit guard into conv().cast('long'), then
+        # (off/32).cast('int') threw CAST_OVERFLOW under ANSI. Must be
+        # skipped, not crash the batch.
+        _log(12, [ERC1155_BATCH_TOPIC, _word_addr(OP), _word_addr(A1), _word_addr(A2)],
+             "0x" + "0" * 49 + "f" * 15 + _word_int(0xA0)
+             + _word_int(2) + _word_int(1) + _word_int(2)
+             + _word_int(2) + _word_int(10) + _word_int(20)),
     ]
     df = spark.createDataFrame(rows, LOG_SCHEMA)
     out = sorted(
