@@ -49,7 +49,17 @@ BENCH_LOGS = 2
 
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Each headline query timed at sustained state: an untimed warm-up pass
+    at the smallest fixture first (JVM codegen JIT + Python/Arrow worker
+    spin-up — measured ~4s one-time on the first pandas-UDF query of a fresh
+    session, which is session bring-up, not query cost; the replay half of
+    this bench has always warmed up for the same reason)."""
     from ethereum_etl_spark.plans.harness_queries import QUERIES
+
+    warm_dir = sf_dir.replace("sf0.1", "sf0.001")
+    if warm_dir != sf_dir and os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            QUERIES[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
 
     times = {}
     for name in HEADLINE:

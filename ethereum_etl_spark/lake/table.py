@@ -216,15 +216,29 @@ class LakeTable:
 
     def _evolve_schema(self, m: Manifest, batch: DataFrame) -> tuple[StructType, DataFrame]:
         """Additive evolution: batch columns not in the table are appended to
-        the table schema; table columns missing from the batch become NULL."""
+        the table schema; table columns missing from the batch become NULL.
+
+        Driver-cost note: the steady-state case (batch already matches the
+        table, by far the common one in the CDC loop) short-circuits with NO
+        py4j traffic, and the realignment path builds ONE selectExpr call —
+        the per-column F.col().cast() construction this replaces cost ~2s of
+        GIL-serialized py4j chatter per merge × 17 tables per cycle, the
+        single largest slice of the measured per-batch serial cost."""
         table_schema = m.schema
+        bfields = batch.schema.fields
+        if [(f.name, f.dataType) for f in bfields] == [
+            (f.name, f.dataType) for f in table_schema.fields
+        ]:
+            return table_schema, batch
         table_names = {f.name for f in table_schema.fields}
-        new_fields = [f for f in batch.schema.fields if f.name not in table_names]
+        new_fields = [f for f in bfields if f.name not in table_names]
         evolved = StructType(list(table_schema.fields) + new_fields)
-        aligned = batch.select(
+        bcols = {f.name for f in bfields}
+        aligned = batch.selectExpr(
             *[
-                F.col(f.name).cast(f.dataType) if f.name in batch.columns
-                else F.lit(None).cast(f.dataType).alias(f.name)
+                f"CAST(`{f.name}` AS {f.dataType.simpleString()}) AS `{f.name}`"
+                if f.name in bcols
+                else f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
                 for f in evolved.fields
             ]
         )

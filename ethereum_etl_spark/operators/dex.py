@@ -93,16 +93,25 @@ def extract_dex_trades(
 ) -> DataFrame:
     """parsed uniswap-v2 logs → dex_trades rows (EthDexTrade shape:
     token_amounts, pool, tx, log_index, event_type, reserves, prices,
-    token_addresses, wallet)."""
-    p = F.broadcast(
-        pools.select(
-            F.col("address").alias("contract_address"),
-            "factory_address",
-            "token_addresses",
-            F.element_at("token_addresses", 1).alias("__t0"),
-            F.element_at("token_addresses", 2).alias("__t1"),
-        )
-    )
+    token_addresses, wallet).
+
+    v2-FORK coverage (solidly/sushiswap/meshswap/canto_dex — reference
+    subclasses of UniswapV2Amm with identical event shapes): the Swap/Sync/
+    Mint/Burn decode is byte-identical across forks; what differs is the
+    NAMESPACE attribution, which the reference derives from the creating
+    factory. When the ``pools`` dimension carries an ``amm`` column (as
+    discover_pools emits), the trade inherits the pool's label instead of
+    the hardcoded 'uniswap_v2'."""
+    pcols = [
+        F.col("address").alias("contract_address"),
+        "factory_address",
+        "token_addresses",
+        F.element_at("token_addresses", 1).alias("__t0"),
+        F.element_at("token_addresses", 2).alias("__t1"),
+    ]
+    if "amm" in pools.columns:
+        pcols.append(F.col("amm").alias("__pool_amm"))
+    p = F.broadcast(pools.select(*pcols))
     tok = tokens.select("address", "decimals")
     events = parsed_logs.filter(
         F.array_contains(F.col("namespace"), "uniswap_v2")
@@ -167,7 +176,11 @@ def extract_dex_trades(
             "token_addresses",
             "factory_address",
             wallet.alias("wallet_address"),
-            F.lit("uniswap_v2").alias("amm"),
+            (
+                F.coalesce(F.col("__pool_amm"), F.lit("uniswap_v2"))
+                if "amm" in pools.columns
+                else F.lit("uniswap_v2")
+            ).alias("amm"),
         )
         .withColumn(
             "event_type",
@@ -496,22 +509,37 @@ FACTORY_ABIS = [
 V2_DEFAULT_FEE = 3000  # DexPoolFeeAmount.MEDIUM (service/dex/enums.py:8)
 
 
-def discover_pools(parsed_logs: DataFrame) -> DataFrame:
+def discover_pools(
+    parsed_logs: DataFrame, factory_amm: dict[str, str] | None = None
+) -> DataFrame:
     """Factory create events → dex_pools dimension rows (EthDexPool shape,
     domain/dex_pool.py:25-32). The reference bootstraps pools by RPC
     introspection per unseen address (export_dex_pools_job.py); a lake
     engine derives the dimension from the factory event stream itself —
     PairCreated (v2, fee fixed at MEDIUM=3000, LP token = the pair) and
     PoolCreated (v3, fee from the event, LP positions are NFTs → the pool
-    address stands in, uniswap_v3.py:60-66)."""
+    address stands in, uniswap_v3.py:60-66).
+
+    ``factory_amm``: factory address → amm label (the reference's
+    deploys/metadata.json role) — lets v2/v3-shaped FORK factories
+    (solidly, sushiswap, quickswap…) label their pools so downstream trade
+    attribution inherits the right namespace."""
     pe = F.col("parsed_event")
+    if factory_amm:
+        fmap = F.create_map(
+            *[F.lit(x) for k, v in factory_amm.items() for x in (k.lower(), v)]
+        )
+        amm_v2 = F.coalesce(fmap[F.lower("contract_address")], F.lit("uniswap_v2"))
+        amm_v3 = F.coalesce(fmap[F.lower("contract_address")], F.lit("uniswap_v3"))
+    else:
+        amm_v2, amm_v3 = F.lit("uniswap_v2"), F.lit("uniswap_v3")
     v2 = parsed_logs.filter(F.col("event_name") == "PairCreated").select(
         F.lower(pe["pair"]).alias("address"),
         F.col("contract_address").alias("factory_address"),
         F.array(F.lower(pe["token0"]), F.lower(pe["token1"])).alias("token_addresses"),
         F.lit(V2_DEFAULT_FEE).alias("fee"),
         F.array(F.lower(pe["pair"])).alias("lp_token_addresses"),
-        F.lit("uniswap_v2").alias("amm"),
+        amm_v2.alias("amm"),
         F.col("block_number"),
     )
     v3 = parsed_logs.filter(F.col("event_name") == "PoolCreated").select(
@@ -520,7 +548,7 @@ def discover_pools(parsed_logs: DataFrame) -> DataFrame:
         F.array(F.lower(pe["token0"]), F.lower(pe["token1"])).alias("token_addresses"),
         pe["fee"].cast("int").alias("fee"),
         F.array(F.lower(pe["pool"])).alias("lp_token_addresses"),
-        F.lit("uniswap_v3").alias("amm"),
+        amm_v3.alias("amm"),
         F.col("block_number"),
     )
     return v2.unionByName(v3)
@@ -725,4 +753,92 @@ def extract_dex_trades_curve(
         "factory_address",
         F.col("parsed_event")["buyer"].alias("wallet_address"),
         F.lit("curve").alias("amm"),
+    )
+
+
+# DODO v1 pools (reference service/dex/dodo/contracts_v1.py:19-31,195-214):
+# the pool holds an ordered [base, quote] pair and swaps are expressed as
+# buy/sell of the BASE token rather than in/out amounts.
+DODO_ABIS = [
+    EventAbi(
+        name="BuyBaseToken",
+        inputs=[
+            {"name": "buyer", "type": "address", "indexed": True},
+            {"name": "receiveBase", "type": "uint256", "indexed": False},
+            {"name": "payQuote", "type": "uint256", "indexed": False},
+        ],
+        namespace="dodo",
+        contract_name="pool",
+    ),
+    EventAbi(
+        name="SellBaseToken",
+        inputs=[
+            {"name": "seller", "type": "address", "indexed": True},
+            {"name": "payBase", "type": "uint256", "indexed": False},
+            {"name": "receiveQuote", "type": "uint256", "indexed": False},
+        ],
+        namespace="dodo",
+        contract_name="pool",
+    ),
+]
+
+
+def extract_dex_trades_dodo(
+    parsed_logs: DataFrame, pools: DataFrame, tokens: DataFrame
+) -> DataFrame:
+    """DODO v1 BuyBaseToken / SellBaseToken → dex_trades rows
+    (contracts_v1.py:195-214): amounts over [base, quote] =
+    [-receiveBase/s0, +payQuote/s1] for buys and [+payBase/s0,
+    -receiveQuote/s1] for sells. Prices are the swap's own ratio pair
+    (the reference point-reads pool midprice over RPC; the trade-ratio
+    fallback is the curve/balancer lake rendering); reserves 0 for the
+    same reason."""
+    p = F.broadcast(
+        pools.select(
+            F.col("address").alias("contract_address"),
+            "factory_address",
+            "token_addresses",
+        )
+    )
+    ev = parsed_logs.filter(
+        F.array_contains(F.col("namespace"), "dodo")
+        & F.col("event_name").isin("BuyBaseToken", "SellBaseToken")
+    ).join(p, on="contract_address", how="inner")
+    tok = tokens.select("address", "decimals")
+    ev = (
+        ev.withColumn("__t0", F.element_at("token_addresses", 1))
+        .withColumn("__t1", F.element_at("token_addresses", 2))
+        .join(
+            F.broadcast(tok.select(F.col("address").alias("__t0"), F.col("decimals").alias("__d0"))),
+            on="__t0", how="left",
+        )
+        .join(
+            F.broadcast(tok.select(F.col("address").alias("__t1"), F.col("decimals").alias("__d1"))),
+            on="__t1", how="left",
+        )
+        .withColumn("__s0", F.pow(F.lit(10.0), F.coalesce("__d0", F.lit(18))))
+        .withColumn("__s1", F.pow(F.lit(10.0), F.coalesce("__d1", F.lit(18))))
+    )
+    is_buy = F.col("event_name") == "BuyBaseToken"
+    a0 = F.when(is_buy, -_pe("receiveBase")).otherwise(_pe("payBase")) / F.col("__s0")
+    a1 = F.when(is_buy, _pe("payQuote")).otherwise(-_pe("receiveQuote")) / F.col("__s1")
+    ev = ev.withColumn("__a0", a0).withColumn("__a1", a1)
+    p0 = F.when(F.col("__a0") != 0, F.abs(F.col("__a1") / F.col("__a0"))).otherwise(F.lit(0.0))
+    p1 = F.when(F.col("__a1") != 0, F.abs(F.col("__a0") / F.col("__a1"))).otherwise(F.lit(0.0))
+    wallet = F.coalesce(
+        F.col("parsed_event")["buyer"], F.col("parsed_event")["seller"]
+    )
+    return ev.select(
+        F.array(F.col("__a0"), F.col("__a1")).alias("token_amounts"),
+        F.col("contract_address").alias("pool_address"),
+        "transaction_hash",
+        "log_index",
+        "block_number",
+        F.lit("swap").alias("event_type"),
+        F.array(F.lit(0.0), F.lit(0.0)).alias("token_reserves"),
+        F.array(p0, p1).alias("token_prices"),
+        F.slice("token_addresses", 1, 2).alias("token_addresses"),
+        "factory_address",
+        wallet.alias("wallet_address"),
+        F.lit("dodo").alias("amm"),
     )

@@ -2346,3 +2346,95 @@ def q52(spark, sf):
         F.round(F.col("volume").cast("double"), 4).alias("volume"),
         "trades",
     )
+
+
+@_q(
+    "q53_dodo_trades",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, md5(CAST(o_orderkey AS VARCHAR)) AS tx,
+             '0x' || lpad(lower(to_hex(700 + o_orderkey % 25)), 40, '0') AS pool,
+             CAST(o_custkey AS DOUBLE) AS base_amt,
+             CAST(floor(o_totalprice) AS BIGINT)::DOUBLE AS quote_amt,
+             o_orderkey % 2 AS is_buy
+      FROM orders WHERE o_orderkey <= 4096),
+    legs AS (
+      SELECT k, tx, pool,
+             CASE WHEN is_buy = 1 THEN -base_amt ELSE base_amt END / 1000000.0 AS a0,
+             CASE WHEN is_buy = 1 THEN quote_amt ELSE -quote_amt END / 1e9 AS a1
+      FROM base)
+    SELECT pool AS pool_address, tx AS transaction_hash, k AS block_number,
+           'swap' AS event_type, 'dodo' AS amm,
+           round(a0, 6) + 0.0 AS amount0, round(a1, 6) + 0.0 AS amount1,
+           CASE WHEN a0 = 0 THEN 0.0
+                ELSE CAST(round(CAST(abs(a1 / a0) AS DECIMAL(38,12)), 6) AS DOUBLE) END AS price0,
+           CASE WHEN a1 = 0 THEN 0.0
+                ELSE CAST(round(CAST(abs(a0 / a1) AS DECIMAL(38,12)), 6) AS DOUBLE) END AS price1
+    FROM legs
+    """,
+)
+def q53(spark, sf):
+    """DODO v1 base/quote swaps (reference dodo/contracts_v1.py:195-214):
+    BuyBaseToken drains base from the pool (amount0 negative), SellBaseToken
+    adds it — the fifth AMM family in the single parse pass. Base token has
+    6 decimals, quote 9, so the per-leg scaling is visibly different."""
+    from ethereum_etl_spark.operators.dex import (
+        DODO_ABIS,
+        POOL_DDL,
+        TOKEN_DIM_DDL,
+        extract_dex_trades_dodo,
+    )
+    from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
+
+    BUY, SELL = DODO_ABIS
+    o = ld(spark, sf, "orders").filter("o_orderkey <= 4096")
+    k = F.col("o_orderkey")
+    pool = F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(F.lit(700) + k % 25)), 40, "0"))
+    wallet_w = F.lpad(F.lit("ab" * 20), 64, "0")
+
+    def w64(c):
+        return F.lpad(F.lower(F.hex(c.cast("long"))), 64, "0")
+
+    logs = o.select(
+        F.lit(1).alias("log_index"),
+        F.md5(k.cast("string")).alias("transaction_hash"),
+        F.lit(0).alias("transaction_index"),
+        F.lit("0xb").alias("block_hash"),
+        k.alias("block_number"),
+        pool.alias("address"),
+        F.concat(
+            F.lit("0x"),
+            w64(F.col("o_custkey")),
+            w64(F.floor("o_totalprice")),
+        ).alias("data"),
+        F.array(
+            F.when(k % 2 == 1, F.lit(BUY.topic0)).otherwise(F.lit(SELL.topic0)),
+            F.concat(F.lit("0x"), wallet_w),
+        ).alias("topics"),
+    )
+    inv = build_inventory(spark, DODO_ABIS)
+    parsed = parse_logs(logs, inv, DODO_ABIS)
+    tok_b, tok_q = "0x" + "6" * 40, "0x" + "7" * 40
+    pools = spark.createDataFrame(
+        [(f"0x{700 + i:040x}", "0xfac", [tok_b, tok_q], 0, []) for i in range(25)],
+        POOL_DDL,
+    )
+    tokens = spark.createDataFrame(
+        [(tok_b, "BASE", 6), (tok_q, "QUOTE", 9)], TOKEN_DIM_DDL
+    )
+    t = extract_dex_trades_dodo(parsed, pools, tokens)
+    return t.select(
+        "pool_address",
+        "transaction_hash",
+        "block_number",
+        "event_type",
+        "amm",
+        (F.round(F.element_at("token_amounts", 1), 6) + F.lit(0.0)).alias("amount0"),
+        (F.round(F.element_at("token_amounts", 2), 6) + F.lit(0.0)).alias("amount1"),
+        F.round(
+            F.element_at("token_prices", 1).cast("decimal(38,12)"), 6
+        ).cast("double").alias("price0"),
+        F.round(
+            F.element_at("token_prices", 2).cast("decimal(38,12)"), 6
+        ).cast("double").alias("price1"),
+    )

@@ -69,6 +69,13 @@ def get_spark(
         .config("spark.local.dir", _local_dirs())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # v1 commitJob renames EVERY task file serially on the driver —
+        # with ~17 concurrent per-entity MERGE writes × O(100) salted files
+        # each per cycle, that driver-side rename loop is pure per-batch
+        # serial cost. v2 renames in the tasks; job commit becomes O(1).
+        # (Single-writer snapshot tables: a failed write never commits a
+        # manifest, so v2's weaker failure atomicity is not load-bearing.)
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -178,7 +178,54 @@ class ChainStreamer:
         self.tables: dict[str, LakeTable] = {}
         # cross-cycle dimension snapshot cache: table → (version, cached df)
         self._dim_cache: dict[str, tuple[int, DataFrame]] = {}
+        # next-batch prefetch: a single-thread pool reads + stats the
+        # PREDICTED next WAL range while the current batch's merges run,
+        # taking the read+stats latency off the next cycle's critical path
+        self._prefetch = None
+        self._prefetch_pool = None
         self._init_tables()
+
+    def _prefetch_next(self, tailer: WalTailer, after_target: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._prefetch_pool is None:
+            self._prefetch_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="wal-prefetch"
+            )
+
+        def task():
+            nt = tailer.compute_target(after_target)
+            if nt is None:
+                return None
+            df = tailer.read_range(after_target, nt).cache()
+            return {"lo": after_target, "hi": nt, "df": df, "srows": self._batch_stats(df)}
+
+        self._prefetch = self._prefetch_pool.submit(task)
+
+    def _take_prefetch(self, watermark: int):
+        """Consume a matching prefetch; discard (and unpersist) a stale one."""
+        pf, self._prefetch = self._prefetch, None
+        if pf is None:
+            return None
+        pre = pf.result()
+        if pre is None:
+            return None
+        if pre["lo"] != watermark:
+            pre["df"].unpersist()
+            return None
+        return pre
+
+    def _batch_stats(self, batch: DataFrame):
+        return (
+            batch.groupBy("entity_type")
+            .agg(
+                F.min("block_number").alias("lo"),
+                F.max("block_number").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("op") == "reorg", 1).otherwise(0)).alias("nr"),
+            )
+            .collect()
+        )
 
     def _dim_snapshot(self, name: str, cols: list[str]) -> DataFrame:
         """Committed dimension read, cached ACROSS cycles until the table
@@ -458,11 +505,13 @@ class ChainStreamer:
             from ethereum_etl_spark.operators.dex import (
                 BALANCER_V2_ABIS,
                 CURVE_ABIS,
+                DODO_ABIS,
                 UNISWAP_V2_ABIS,
                 UNISWAP_V3_ABIS,
                 extract_dex_trades,
                 extract_dex_trades_balancer,
                 extract_dex_trades_curve,
+                extract_dex_trades_dodo,
                 extract_dex_trades_v3,
             )
             from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
@@ -480,7 +529,8 @@ class ChainStreamer:
                     # the reference's per-namespace resolver dispatch; cached:
                     # probes + 3 extractors + marks all read it
                     all_abis = (
-                        UNISWAP_V2_ABIS + UNISWAP_V3_ABIS + BALANCER_V2_ABIS + CURVE_ABIS
+                        UNISWAP_V2_ABIS + UNISWAP_V3_ABIS + BALANCER_V2_ABIS
+                        + CURVE_ABIS + DODO_ABIS
                     )
                     inv = build_inventory(self.spark, all_abis)
                     parsed = parse_logs(get("log"), inv, all_abis).cache()
@@ -500,7 +550,7 @@ class ChainStreamer:
                 if "dims" in cell:
                     return cell["dims"]
                 parsed = _parsed()
-                pool_cols = ["address", "factory_address", "token_addresses"]
+                pool_cols = ["address", "factory_address", "token_addresses", "amm"]
                 if "dex_pools" in self.tables:
                     pools_dim = self._dim_snapshot("dex_pools", pool_cols)
                 else:
@@ -555,6 +605,9 @@ class ChainStreamer:
                         )
                         .unionByName(
                             extract_dex_trades_curve(parsed, pools_f, tokens_f).select(*shape)
+                        )
+                        .unionByName(
+                            extract_dex_trades_dodo(parsed, pools_f, tokens_f).select(*shape)
                         )
                     )
                     if stables:
@@ -697,13 +750,28 @@ class ChainStreamer:
     def sync_cycle(
         self, tailer: WalTailer, watermark: int, allow_skip: bool = False
     ) -> int | None:
-        target = tailer.compute_target(watermark, allow_skip=allow_skip)
-        if target is None:
-            return None
         t0 = time.time()
-        batch = tailer.read_range(watermark, target)
+        pre = self._take_prefetch(watermark)
+        pre_srows = None
+        if pre is not None and not allow_skip:
+            # prefetched while the previous cycle merged: range + cached df
+            # + stats are already in hand (a stale head only shrinks the
+            # range — correct, the next cycle catches the rest)
+            target, batch, pre_srows = pre["hi"], pre["df"], pre["srows"]
+        else:
+            target = tailer.compute_target(watermark, allow_skip=allow_skip)
+            if pre is not None and target == pre["hi"]:
+                batch, pre_srows = pre["df"], pre["srows"]
+            elif pre is not None:
+                pre["df"].unpersist()
+            if target is None:
+                return None
+            if pre_srows is None:
+                batch = tailer.read_range(watermark, target)
+        # predict + read + stat the NEXT range while this batch processes
+        self._prefetch_next(tailer, target)
         batch_id = f"{watermark}-{target}"
-        info = self._apply_batch(batch, batch_id)
+        info = self._apply_batch(batch, batch_id, pre_srows=pre_srows)
         # watermark AFTER sink commit (streamer.py:128-132)
         self.watermarks.set(target)
         self.lineage.record(
@@ -720,10 +788,12 @@ class ChainStreamer:
         batch: DataFrame,
         batch_id: str,
         force_delete_blocks: list[int] | None = None,
+        pre_srows=None,
     ) -> dict:
         """Decode → enrich → MERGE one batch of WAL rows. Returns lineage
         info. ``force_delete_blocks``: treat these block numbers as reorged
-        regardless of op (the verifier repair path)."""
+        regardless of op (the verifier repair path). ``pre_srows``: batch
+        stats already computed by the prefetch thread."""
         phase_secs: dict[str, float] = {}
         __t = time.time()
         batch = batch.cache()
@@ -733,17 +803,9 @@ class ChainStreamer:
         # touched-partition hint for every table MERGE (no per-table
         # discovery scans) and the counts let _merge_one skip merges whose
         # SOURCE entity is absent from the batch without launching an
-        # isEmpty job per table.
-        srows = (
-            batch.groupBy("entity_type")
-            .agg(
-                F.min("block_number").alias("lo"),
-                F.max("block_number").alias("hi"),
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.when(F.col("op") == "reorg", 1).otherwise(0)).alias("nr"),
-            )
-            .collect()
-        )
+        # isEmpty job per table. Prefetched off the critical path when the
+        # previous cycle predicted this range.
+        srows = pre_srows if pre_srows is not None else self._batch_stats(batch)
         if not srows:  # empty range
             batch.unpersist()
             return {"entities": [], "reorg": False, "rows": 0}
@@ -1112,26 +1174,37 @@ class ChainStreamer:
                 base = latest_of(pre).cache()
                 base.count()  # materialize: the source snapshot is GC'd below
             recomputed = recompute(boundary, base, akeys).cache()
-            t.merge_upsert(
-                recomputed,
-                batch_id=f"{batch_id}/reorg-fix-{hist_name}",
-                version_col=None,
-                delete_keys=akeys,
-                delete_key_cols=key_cols,
-                touched_range=(boundary, hi_bn),
-            )
+            recomputed.count()  # materialize once: BOTH merges below read it
             new_latest = latest_of(recomputed)
             if base is not None:
                 only_base = self._ns_join(base, new_latest.select(*key_cols), key_cols, "left_anti")
                 new_latest = new_latest.unionByName(only_base)
-            self.tables[latest_name].merge_upsert(
-                new_latest,
-                batch_id=f"{batch_id}/reorg-fix-{latest_name}",
-                version_col=None,
-                delete_keys=akeys,
-                delete_key_cols=key_cols,
-                touched_range=(0, 0),
-            )
+            # the history and latest-projection merges touch different
+            # tables and share only the materialized cache — run them
+            # concurrently (halves the repair's small-job latency chain)
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            with _TPE(max_workers=2) as ex2:
+                f_hist = ex2.submit(
+                    t.merge_upsert,
+                    recomputed,
+                    batch_id=f"{batch_id}/reorg-fix-{hist_name}",
+                    version_col=None,
+                    delete_keys=akeys,
+                    delete_key_cols=key_cols,
+                    touched_range=(boundary, hi_bn),
+                )
+                f_latest = ex2.submit(
+                    self.tables[latest_name].merge_upsert,
+                    new_latest,
+                    batch_id=f"{batch_id}/reorg-fix-{latest_name}",
+                    version_col=None,
+                    delete_keys=akeys,
+                    delete_key_cols=key_cols,
+                    touched_range=(0, 0),
+                )
+                f_hist.result()
+                f_latest.result()
             recomputed.unpersist()
             if base is not None:
                 base.unpersist()
@@ -1353,8 +1426,17 @@ class ChainStreamer:
         while True:
             nxt = self.sync_cycle(tailer, wm, allow_skip=allow_catchup_skip)
             if nxt is None:
+                self._drop_prefetch()
                 return wm
             wm = nxt
             cycles += 1
             if max_cycles is not None and cycles >= max_cycles:
+                self._drop_prefetch()
                 return wm
+
+    def _drop_prefetch(self) -> None:
+        pf, self._prefetch = self._prefetch, None
+        if pf is not None:
+            pre = pf.result()
+            if pre is not None:
+                pre["df"].unpersist()

