@@ -310,6 +310,12 @@ def extract_dex_trades_v3(
     pools: DataFrame,
     tokens: DataFrame,
     pool_balances: DataFrame | None = None,
+    namespace: str = "uniswap_v3",
+    amm: str | None = None,
+    amount0_key: str = "amount0",
+    amount1_key: str = "amount1",
+    sqrtp_key: str = "sqrtPriceX96",
+    event_names: tuple[str, ...] = ("Swap", "Mint", "Burn", "Collect"),
 ) -> DataFrame:
     """parsed uniswap-v3 pool logs → dex_trades rows.
 
@@ -328,20 +334,32 @@ def extract_dex_trades_v3(
       ``pool_balances`` table (token_address, holder_address, block_number,
       value) — latest balance ≤ trade block, scaled by token decimals.
       Without it reserves are 0 (the reference's fallback).
+
+    v3-FORK coverage: KyberSwap Elastic's Swap
+    (service/dex/kyberswap_elastic/Pool.json — deltaQty0/deltaQty1/sqrtP)
+    has the IDENTICAL canonical signature Swap(address,address,int256,
+    int256,uint160,uint128,int24), hence the SAME topic0 as uniswap v3 —
+    indistinguishable at the log level. Fork pools therefore decode through
+    the v3 inventory and are ATTRIBUTED via the ``amm`` column of the pool
+    dimension (the creating factory), the same mechanism as the v2 forks;
+    the namespace/field-key parameters remain for forks that DO rename the
+    event. quickswap_v3 (Algebra) swaps share this shape minus the fee
+    field ordering and ride the same path.
     """
-    p = F.broadcast(
-        pools.select(
-            F.col("address").alias("contract_address"),
-            "factory_address",
-            "token_addresses",
-            F.element_at("token_addresses", 1).alias("__t0"),
-            F.element_at("token_addresses", 2).alias("__t1"),
-        )
-    )
+    pcols3 = [
+        F.col("address").alias("contract_address"),
+        "factory_address",
+        "token_addresses",
+        F.element_at("token_addresses", 1).alias("__t0"),
+        F.element_at("token_addresses", 2).alias("__t1"),
+    ]
+    if "amm" in pools.columns:
+        pcols3.append(F.col("amm").alias("__pool_amm"))
+    p = F.broadcast(pools.select(*pcols3))
     tok = tokens.select("address", "decimals")
     events = parsed_logs.filter(
-        F.array_contains(F.col("namespace"), "uniswap_v3")
-        & F.col("event_name").isin("Swap", "Mint", "Burn", "Collect")
+        F.array_contains(F.col("namespace"), namespace)
+        & F.col("event_name").isin(*event_names)
     )
     ev = (
         events.join(p, on="contract_address", how="inner")
@@ -372,7 +390,7 @@ def extract_dex_trades_v3(
 
     sqrtp = F.when(
         F.col("event_name") == "Swap",
-        hex_to_double(F.col("parsed_event")["sqrtPriceX96"]),
+        hex_to_double(F.col("parsed_event")[sqrtp_key]),
     )
     ev = ev.withColumn("__sqrtp", F.last(sqrtp, ignorenulls=True).over(w))
     scalars_diff = F.col("__s1") / F.col("__s0")
@@ -382,8 +400,8 @@ def extract_dex_trades_v3(
     ).otherwise(F.lit(0.0))
     price1 = F.when(price0 > 0, F.lit(1.0) / price0).otherwise(F.lit(0.0))
 
-    amount0 = _pe("amount0") / F.col("__s0")
-    amount1 = _pe("amount1") / F.col("__s1")
+    amount0 = _pe(amount0_key) / F.col("__s0")
+    amount1 = _pe(amount1_key) / F.col("__s1")
     wallet = F.coalesce(
         F.col("parsed_event")["recipient"],
         F.col("parsed_event")["owner"],
@@ -404,7 +422,11 @@ def extract_dex_trades_v3(
         "token_addresses",
         "factory_address",
         wallet.alias("wallet_address"),
-        F.lit("uniswap_v3").alias("amm"),
+        (
+            F.coalesce(F.col("__pool_amm"), F.lit(amm or namespace))
+            if "amm" in pools.columns
+            else F.lit(amm or namespace)
+        ).alias("amm"),
         F.col("__t0"), F.col("__t1"), F.col("__s0"), F.col("__s1"),
     )
 
@@ -842,3 +864,4 @@ def extract_dex_trades_dodo(
         wallet.alias("wallet_address"),
         F.lit("dodo").alias("amm"),
     )
+

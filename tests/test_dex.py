@@ -122,3 +122,33 @@ def test_v3_extreme_sqrtprice_beyond_dec38(spark):
     want = (float(sqrtp) ** 2 / 2**192) / 1e12
     assert t["token_prices"][0] == pytest.approx(want, rel=1e-12)
     assert t["token_prices"][1] == pytest.approx(1.0 / want, rel=1e-12)
+
+
+def test_v3_fork_amm_attribution_from_pool_dim(spark):
+    """KyberSwap Elastic's Swap shares uniswap v3's canonical signature
+    (same topic0) — fork trades are indistinguishable at the log level and
+    must inherit their amm label from the pool dimension (the creating
+    factory), like the v2 forks."""
+    from ethereum_etl_spark.operators.dex import (
+        UNISWAP_V3_ABIS,
+        extract_dex_trades_v3,
+    )
+
+    SWAP3 = UNISWAP_V3_ABIS[0]
+    rows = [
+        (0, "0xtx", 0, "0xb", 5, POOL,
+         "0x" + _w(10**6) + _w((-(2 * 10**18)) % 2**256) + _w(2**96)
+         + _w(1) + _w(0),
+         [SWAP3.topic0, _waddr(WALLET), _waddr(WALLET)]),
+    ]
+    logs = spark.createDataFrame(rows, LOG_SCHEMA)
+    parsed = parse_logs(logs, build_inventory(spark, UNISWAP_V3_ABIS), UNISWAP_V3_ABIS)
+    pools = spark.createDataFrame(
+        [(POOL, "0xkyberfac", [T0, T1], 300, [], "kyberswap_elastic")],
+        "address string, factory_address string, token_addresses array<string>,"
+        "fee int, lp_token_addresses array<string>, amm string",
+    )
+    tokens = spark.createDataFrame([(T0, "AAA", 6), (T1, "BBB", 18)], TOKEN_DIM_DDL)
+    t = extract_dex_trades_v3(parsed, pools, tokens).first()
+    assert t["amm"] == "kyberswap_elastic"
+    assert t["token_amounts"][0] == 1.0
