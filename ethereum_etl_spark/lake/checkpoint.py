@@ -38,7 +38,37 @@ class WatermarkStore:
             with open(self.path) as f:
                 d = json.load(f)
         d[partition] = int(value)
+        # committing the watermark retires the batch intent (the batch is
+        # done; the next cycle plans its own range)
+        d.pop(f"__intent_{partition}", None)
         _atomic_write(self.path, json.dumps(d))
+
+    # -- batch-intent pinning (exactly-once under crash + head advance) --
+    #
+    # The batch_id is "{lo}-{hi}". Every per-table merge skips replayed
+    # batch_ids, so exactly-once depends on a crash-replay reusing the SAME
+    # (lo, hi). But ``hi`` comes from compute_target, which reads the WAL
+    # head — if the head advanced between crash and restart, a naive replay
+    # would pick a LARGER hi, a NEW batch_id, and re-apply the overlap's
+    # deltas to the carry-forward balance tables (double count). Writing the
+    # intended range BEFORE the merges and pinning the replay to it makes
+    # the batch plan deterministic across crashes.
+
+    def set_intent(self, lo: int, hi: int, partition: str = "default") -> None:
+        d = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                d = json.load(f)
+        d[f"__intent_{partition}"] = [int(lo), int(hi)]
+        _atomic_write(self.path, json.dumps(d))
+
+    def get_intent(self, partition: str = "default") -> tuple[int, int] | None:
+        if not os.path.exists(self.path):
+            return None
+        with open(self.path) as f:
+            d = json.load(f)
+        v = d.get(f"__intent_{partition}")
+        return (int(v[0]), int(v[1])) if v else None
 
     def init_resume(self, start_block: int, partition: str = "default") -> int:
         """Resume semantics of init_last_synced_block_provider

@@ -40,10 +40,16 @@ class EventAbi:
     inputs: list[dict]  # [{name, type, indexed}]
     namespace: str = "default"
     contract_name: str = "unknown"
+    # canonical signature types when they differ from the flattened decode
+    # layout — a STATIC fixed array (address[4]) hashes as one type but lays
+    # out inline as N words, which `inputs` models as N scalar params (e.g.
+    # curve PlainPoolDeployed)
+    sig_types: list[str] | None = None
 
     @property
     def signature(self) -> str:
-        return f"{self.name}({','.join(i['type'] for i in self.inputs)})"
+        types = self.sig_types or [i["type"] for i in self.inputs]
+        return f"{self.name}({','.join(types)})"
 
     @property
     def topic0(self) -> str:

