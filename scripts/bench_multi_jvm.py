@@ -40,7 +40,7 @@ def main():
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     blocks = int(os.environ.get("BENCH_BLOCKS", "262144"))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    wal = f"/tmp/bench_wal_v2_b{blocks}"
+    wal = f"/tmp/bench_wal_v3_b{blocks}"  # v3: multi-family dex traffic + enriched-trade path
     batch = blocks * 16 + 1000
 
     t0 = time.time()

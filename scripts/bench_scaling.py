@@ -52,7 +52,7 @@ def main():
     cores = [int(a) for a in sys.argv[1:]] or [2, 8, 32]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     blocks = int(os.environ.get("BENCH_BLOCKS", "262144"))
-    wal = f"/tmp/bench_wal_v2_b{blocks}"
+    wal = f"/tmp/bench_wal_v3_b{blocks}"  # v3: multi-family dex traffic + enriched-trade path
     batch = blocks * 16 + 1000  # single whole-WAL batch
 
     results = {}

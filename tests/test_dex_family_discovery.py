@@ -1,0 +1,123 @@
+"""Factory-event pool discovery end-to-end in the CDC loop (VERDICT r4
+items 1 + 7): curve pools resolved through the SAME-tx CREATE trace, DODO
+v1/v2 pools from their factory events, v3 pools from PoolCreated — all
+discovered FROM the WAL (no fabricated dims) — and every family's trades
+assemble against the discovered dimension. The v3 trades carry NON-ZERO
+reserves from the maintained token_balances table (as-of at the trade
+block), replacing the reference's per-trade balanceOf point-calls
+(uniswap_v3.py:123-132). Also proves cfg.factory_amm fork labeling flows
+discovery → dimension → trade attribution."""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ethereum_etl_spark.sources.wal import (
+    DEX_STABLE,
+    ChainWalSpec,
+    WalTailer,
+    generate_chain_wal,
+)
+from ethereum_etl_spark.streaming import ChainStreamer, StreamerConfig
+
+ENTITIES = (
+    "block", "transaction", "receipt", "log", "token", "token_transfer",
+    "geth_trace", "trace", "contract", "token_balance",
+    "dex_pool", "dex_trade",
+)
+
+
+def _addr(prefix: str, salt: int) -> str:
+    return "0x" + hashlib.sha256(f"{prefix}:{salt}".encode()).hexdigest()[:40]
+
+
+def test_family_discovery_and_assembly(spark):
+    wh = tempfile.mkdtemp(prefix="dex_fam_wh_")
+    try:
+        n_pools, end_block = 4, 59
+        active = end_block + 1 - n_pools
+        spec = ChainWalSpec(
+            start_block=0, end_block=end_block,
+            dex_pools=n_pools, dex_families=True,
+        )
+        wal = generate_chain_wal(spark, spec).cache()
+        cfg = StreamerConfig(
+            warehouse=wh, batch_size=200, partition_size=16,
+            entity_types=ENTITIES,
+            factory_amm={_addr("dexfactory", 0): "sushiswap"},
+        )
+        s = ChainStreamer(spark, cfg)
+        s.run(WalTailer(wal, batch_size=200))
+
+        pools = s.tables["dex_pools"].read()
+        by_amm = {
+            r["amm"]: r["n"]
+            for r in pools.groupBy("amm").agg(F.count("*").alias("n")).collect()
+        }
+        # 5 families × n_pools each; the v2 factory is amm-mapped to its
+        # fork label at DISCOVERY time (deploys/metadata.json role)
+        assert by_amm == {
+            "sushiswap": n_pools, "curve": n_pools, "dodo": n_pools,
+            "dodo_v2": n_pools, "uniswap_v3": n_pools,
+        }, by_amm
+
+        # the curve pool address came from the same-tx CREATE trace
+        curve_pools = {
+            r["address"]: r for r in pools.filter(F.col("amm") == "curve").collect()
+        }
+        for k in range(n_pools):
+            expect = _addr("curvepool", k)
+            assert expect in curve_pools, (expect, sorted(curve_pools))
+            assert curve_pools[expect]["token_addresses"] == [
+                DEX_STABLE, _addr("dtok", k),
+            ]
+
+        trades = s.tables["dex_trades"].read().cache()
+        t_by_amm = {
+            r["amm"]: r["n"]
+            for r in trades.groupBy("amm").agg(F.count("*").alias("n")).collect()
+        }
+        # the v2 family carries one Swap + one Mint per active block
+        assert t_by_amm == {
+            "sushiswap": 2 * active, "curve": active, "dodo": active,
+            "dodo_v2": active, "uniswap_v3": active,
+        }, t_by_amm
+
+        b = 20  # any active block
+        rows = {
+            r["amm"]: r
+            for r in trades.filter(
+                (F.col("block_number") == b) & (F.col("event_type") == "swap")
+            ).collect()
+        }
+        # curve: sold_id=0 → +(b%50+1) stable units (6 dec); bought leg negative
+        cr = rows["curve"]
+        assert abs(cr["token_amounts"][0] - (b % 50 + 1)) < 1e-9
+        assert cr["token_amounts"][1] < 0
+        assert cr["token_addresses"][0] == DEX_STABLE
+        # dodo v1 (even block → SellBaseToken): +base, −quote over [base, quote]
+        d1 = rows["dodo"]
+        assert d1["event_type"] == "swap"
+        assert d1["token_amounts"][0] > 0 and d1["token_amounts"][1] < 0
+        # dodo v2: fromToken=stable=pool.token1 → +from on slot 1
+        d2 = rows["dodo_v2"]
+        assert abs(d2["token_amounts"][1] - (b % 50 + 1)) < 1e-9
+        assert d2["token_amounts"][0] < 0
+        # v3: signed decode (+stable in, −token out) AND reserves resolved
+        # from the maintained balance table — the transfers INTO the pool
+        # earlier in the stream (and at this very block) are visible as-of
+        v3 = rows["uniswap_v3"]
+        assert abs(v3["token_amounts"][0] - (b % 50 + 1)) < 1e-9
+        assert v3["token_amounts"][1] < 0
+        assert v3["token_reserves"][0] > 0 and v3["token_reserves"][1] > 0
+        assert v3["token_prices"][0] > 0
+        # fork attribution rides the mapped pool dimension
+        assert rows["sushiswap"]["factory_address"] == _addr("dexfactory", 0)
+        trades.unpersist()
+        wal.unpersist()
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -156,3 +156,48 @@ def test_dim_snapshot_cached_across_cycles(spark):
         import shutil
 
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_reorg_reprices_interim_trades(spark):
+    """ADVICE r4: trades committed BETWEEN an orphaned block and the fork's
+    arrival (reorg_lag later) were priced against marks the reorg then
+    deleted. The streamer must re-enrich them — the multi-batch run's final
+    dex_trades must EQUAL a single-batch from-scratch replay (where orphaned
+    marks never reach the table). The WAL's v2 Mint rows price against the
+    PREVIOUS block's swap mark, and the fork re-emits block 8's swaps with
+    SHIFTED amounts, so the mint at block 9 diverges unless repaired."""
+    whA = tempfile.mkdtemp(prefix="dex_rp_a_")
+    whB = tempfile.mkdtemp(prefix="dex_rp_b_")
+    try:
+        spec = ChainWalSpec(
+            start_block=0, end_block=39, dex_pools=3, dex_families=True,
+            reorg_blocks=(8,), reorg_lag=400, fork_key_shift=11,
+        )
+        wal = generate_chain_wal(spark, spec).cache()
+        ents = ENTITIES + (
+            "token_transfer", "geth_trace", "trace", "contract", "token_balance",
+        )
+
+        def run(wh, batch):
+            cfg = StreamerConfig(
+                warehouse=wh, batch_size=batch, partition_size=16,
+                entity_types=ents, stablecoins=(DEX_STABLE,),
+            )
+            s = ChainStreamer(spark, cfg)
+            s.run(WalTailer(wal, batch_size=batch))
+            return s
+
+        def snap(s):
+            return sorted(
+                (r["block_number"], r["log_index"], r["pool_address"],
+                 r["amount_stable"], tuple(r["prices_stable"] or []))
+                for r in s.tables["dex_trades"].read().collect()
+            )
+
+        truth = snap(run(whA, 10**6))   # one batch: orphan marks never commit
+        small = snap(run(whB, 250))     # fork arrives batches after block 8
+        assert small == truth
+        wal.unpersist()
+    finally:
+        shutil.rmtree(whA, ignore_errors=True)
+        shutil.rmtree(whB, ignore_errors=True)

@@ -58,7 +58,8 @@ def test_enrich_joins_broadcast(spark, sf_dir):
     ["q23_erc20_decode_parity", "q27_minhash_lsh_pairs", "q31_simhash_near_dups",
      "q36_minhash_lsh_fast", "q46_embedding_near_dups",
      "q47_enriched_dex_trades", "q48_curve_trades", "q49_native_balances_gas",
-     "q53_dodo_trades"],
+     "q53_dodo_trades", "q54_dodo_v2_trades", "q55_traderjoe_lb_trades",
+     "q56_multi_family_trades", "q57_family_pool_discovery"],
 )
 def test_no_row_python_and_no_cartesian(spark, sf_dir, qname):
     from ethereum_etl_spark.plans.harness_queries import QUERIES

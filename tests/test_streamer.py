@@ -58,6 +58,30 @@ def test_resume_from_checkpoint(spark, tmp_path):
     assert s2.tables["blocks"].read().count() == 20
     # lineage recorded every batch
     assert len(s2.lineage.entries()) >= 2
+    # etl_delay metrics rows (A5, reference etl_delay MVs schema.sql:769-799):
+    # per entity per cycle — delay = indexed_at − ts of the entity's highest
+    # merged block
+    # a batch with no block rows (tail ranges can be single-entity) emits no
+    # delay rows — like the reference MVs, which only fire on new rows
+    populated = [
+        e["etl_delay"]
+        for e in s2.lineage.entries()
+        if e.get("etl_delay")
+    ]
+    assert populated, "no batch recorded etl_delay rows"
+    seen = set()
+    for d in populated:
+        for ent, row in d.items():
+            assert row["block_number"] >= 0
+            if row["timestamp"] is None:
+                # entity's highest block not in this batch's block rows
+                # (e.g. dimension entities stamped at early blocks)
+                continue
+            seen.add(ent)
+            assert abs(
+                row["delay_s"] - (row["indexed_at"] - row["timestamp"])
+            ) < 0.002
+    assert {"block", "transaction", "receipt", "log"} <= seen, seen
 
 
 def test_reorg_replaces_block_state(spark, tmp_path):
