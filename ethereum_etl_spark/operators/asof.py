@@ -49,6 +49,15 @@ def bucketed_asof(
         key_cols = [key_cols]
     B = block_bucket
     bkt = F.floor(F.col("block_number") / B).cast("long")
+    # Bound EVERYTHING downstream (tails groupBy, carry window, in-bucket
+    # union) to keys the probes actually ask about: marks for unprobed keys
+    # can only ever produce rows the final `__probe == 1` filter drops, and
+    # in the streaming loop `mk` is the full accumulated marks history while
+    # a batch probes a handful of keys — without this the per-cycle tails
+    # aggregation shuffles O(total chain history) (ADVICE r4). The probe key
+    # set is batch-bounded, so AQE turns this into a broadcast semi-join:
+    # the marks scan stays a scan, but nothing key-foreign reaches a shuffle.
+    mk = mk.join(pr.select(*key_cols).distinct(), on=key_cols, how="left_semi")
     mkb = mk.withColumn("__bkt", bkt)
     prb = pr.withColumn("__bkt", bkt)
     tails = (
