@@ -2746,11 +2746,6 @@ def q56(spark, sf):
         SUSHI_BENTO_ABIS,
         TOKEN_DIM_DDL,
         WOMBAT_ABIS,
-        extract_dex_trades_bento,
-        extract_dex_trades_carbon,
-        extract_dex_trades_fjord,
-        extract_dex_trades_one_inch,
-        extract_dex_trades_wombat,
     )
     from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
 
@@ -2877,13 +2872,18 @@ def q56(spark, sf):
         "pool_address", "transaction_hash", "block_number", "event_type",
         "amm", "token_amounts", "token_reserves", "token_prices",
     ]
-    t = (
-        extract_dex_trades_one_inch(parsed, pools, tokens).select(*shape)
-        .unionByName(extract_dex_trades_bento(parsed, pools, tokens).select(*shape))
-        .unionByName(extract_dex_trades_wombat(parsed, tokens).select(*shape))
-        .unionByName(extract_dex_trades_carbon(parsed, tokens).select(*shape))
-        .unionByName(extract_dex_trades_fjord(parsed, pools, tokens).select(*shape))
+    # the STREAMING hot path: one combined join tree for all five families
+    # (operators/dex_combined.py) — oracle-checking it here pins the exact
+    # per-family semantics the per-extractor tests pin individually, and
+    # tests/test_dex_combined.py pins full equivalence to those extractors
+    from ethereum_etl_spark.operators.dex_combined import (
+        extract_dex_trades_combined,
     )
+
+    t = extract_dex_trades_combined(
+        parsed, pools, tokens,
+        families=["one_inch", "sushiswap_bento", "wombat", "carbondefi", "fjord"],
+    ).select(*shape)
     fj_sell = F.col("event_type")  # fjord Sell rows still carry 'swap'
     return t.select(
         "pool_address",

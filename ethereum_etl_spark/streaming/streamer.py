@@ -498,23 +498,25 @@ class ChainStreamer:
                 stamped=False,
             )
         dex_pools_batch = None
-        present_t0s: set = set()
+        present_families: list = []
+        dex_cell: dict = {}  # per-batch memo shared by discovery + trades
         if "dex_pool" in want or "dex_trade" in want:
             from ethereum_etl_spark.operators.dex import (
                 DISCOVERED_POOL_DDL,
                 FACTORY_ABIS,
                 discover_pools,
             )
+            from ethereum_etl_spark.operators.dex_combined import FAMILY_ABIS
             from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
 
             # ONE tiny job: the batch's distinct topic0 set gates the whole
             # dex subgraph. A batch with no factory events must not pay for
             # the discovery plan at all (the dex_pools isEmpty merge-skip
             # used to EXECUTE the full parse+join plan just to find out —
-            # measured 5-80 s/batch), and each AMM family's extractor only
-            # enters the trade union when one of its event topics actually
-            # occurs in the batch — at the tail most batches touch a few
-            # families, and a non-dex chain pays nothing.
+            # measured 5-80 s/batch), and a family's CASE branches only
+            # enter the combined extractor when one of its event topics
+            # actually occurs in the batch — at the tail most batches touch
+            # a few families, and a non-dex chain pays nothing.
             present_t0s = {
                 r["t0"]
                 for r in get("log")
@@ -523,9 +525,34 @@ class ChainStreamer:
                 .collect()
                 if r["t0"]
             }
-            if {a.topic0 for a in FACTORY_ABIS} & present_t0s:
-                factory_inv = build_inventory(self.spark, FACTORY_ABIS)
-                parsed_factory = parse_logs(get("log"), factory_inv, FACTORY_ABIS)
+            factory_hit = bool({a.topic0 for a in FACTORY_ABIS} & present_t0s)
+            present_families = [
+                f for f, abis in FAMILY_ABIS.items()
+                if {a.topic0 for a in abis} & present_t0s
+            ]
+
+            def _parsed():
+                if "parsed" not in dex_cell:
+                    # ONE parse pass shared by pool discovery AND trade
+                    # assembly: combined inventory = factory ABIs + the
+                    # batch's present families (factory ABIs always in so
+                    # the inventory is never empty; topic0s are disjoint).
+                    # EAGER localCheckpoint, not cache: discovery + probes +
+                    # the extractor + marks all reference this frame — a
+                    # cache memoizes execution but Catalyst still re-analyzes
+                    # the parse tree per reference; the checkpoint cuts it
+                    # to a leaf once per batch.
+                    all_abis = list(FACTORY_ABIS) + [
+                        a for f in present_families for a in FAMILY_ABIS[f]
+                    ]
+                    inv = build_inventory(self.spark, all_abis)
+                    dex_cell["parsed"] = parse_logs(
+                        get("log"), inv, all_abis
+                    ).localCheckpoint(eager=True)
+                return dex_cell["parsed"]
+
+            if factory_hit:
+                parsed_factory = _parsed()
                 # curve deployment events carry coins but not the pool
                 # address — the pool is the contract the SAME tx CREATEd.
                 # The batch's trace creations resolve it (VERDICT r3 item 1:
@@ -562,63 +589,15 @@ class ChainStreamer:
             # very batch (a pool's first swap can share a batch with its
             # PairCreated), and reading post-commit avoids racing that
             # merge's snapshot GC.
-            from ethereum_etl_spark.operators.dex import (
-                BALANCER_V2_ABIS,
-                CARBON_ABIS,
-                CURVE_ABIS,
-                DODO_ABIS,
-                DODO_V2_ABIS,
-                FJORD_ABIS,
-                ONE_INCH_ABIS,
-                SUSHI_BENTO_ABIS,
-                TRADERJOE_ABIS,
-                UNISWAP_V2_ABIS,
-                UNISWAP_V3_ABIS,
-                WOMBAT_ABIS,
-                extract_dex_trades,
-                extract_dex_trades_balancer,
-                extract_dex_trades_bento,
-                extract_dex_trades_carbon,
-                extract_dex_trades_curve,
-                extract_dex_trades_dodo,
-                extract_dex_trades_dodo_v2,
-                extract_dex_trades_fjord,
-                extract_dex_trades_one_inch,
-                extract_dex_trades_traderjoe,
-                extract_dex_trades_v3,
-                extract_dex_trades_wombat,
+            from ethereum_etl_spark.operators.dex_combined import (
+                extract_dex_trades_combined,
             )
-            from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
 
             batch_pools = dex_pools_batch
             batch_tokens = get("token") if "token" in want else None
             batch_transfers = token_transfers
             stables = [s.lower() for s in self.cfg.stablecoins]
-            cell: dict = {}  # per-batch memo shared by price_marks/dex_trades
-
-            def _parsed():
-                if "parsed" not in cell:
-                    # ONE parse pass over the batch logs with the combined
-                    # AMM inventory (topic0s are disjoint across families) —
-                    # the reference's per-namespace resolver dispatch; cached:
-                    # probes + 3 extractors + marks all read it
-                    all_abis = (
-                        UNISWAP_V2_ABIS + UNISWAP_V3_ABIS + BALANCER_V2_ABIS
-                        + CURVE_ABIS + DODO_ABIS + DODO_V2_ABIS
-                        + TRADERJOE_ABIS + ONE_INCH_ABIS + SUSHI_BENTO_ABIS
-                        + WOMBAT_ABIS + CARBON_ABIS + FJORD_ABIS
-                    )
-                    inv = build_inventory(self.spark, all_abis)
-                    # EAGER localCheckpoint, not cache: every extractor in
-                    # the union references this frame 1-3 times; a cache
-                    # memoizes execution but Catalyst still re-analyzes the
-                    # parse tree per reference — the checkpoint cuts it to a
-                    # leaf once per batch
-                    parsed = parse_logs(get("log"), inv, all_abis).localCheckpoint(
-                        eager=True
-                    )
-                    cell["parsed"] = parsed
-                return cell["parsed"]
+            cell = dex_cell  # shared with discovery: one parse per batch
 
             def _dims():
                 """(pools, tokens) dims, KEY-FILTERED to the batch's probe
@@ -749,64 +728,39 @@ class ChainStreamer:
                 if "raw" not in cell:
                     from ethereum_etl_spark.operators.dex import TRADE_SHAPE_DDL
 
-                    shape = [
+                    if not present_families:
+                        cell["raw"] = self.spark.createDataFrame([], TRADE_SHAPE_DDL)
+                        return cell["raw"]
+                    pools_f, tokens_f, _ = _dims()
+                    # ONE join tree for every present family (dex_combined:
+                    # one pools broadcast + two decimals broadcasts + one
+                    # window shuffle + per-family CASE arithmetic) — replaces
+                    # the per-family extractor union, whose ~30 broadcast
+                    # exchanges and 12-branch Catalyst tree were the dominant
+                    # per-cycle fixed cost of the dex path (profiled: the
+                    # union shape added ~95 s/cycle at local[32] bench scale)
+                    trades = extract_dex_trades_combined(
+                        _parsed(),
+                        pools_f,
+                        tokens_f,
+                        pool_balances=(
+                            _pool_balances()
+                            if "uniswap_v3" in present_families
+                            else None
+                        ),
+                        families=present_families,
+                    ).select(
                         "block_number", "transaction_hash",
                         F.col("log_index").cast("int").alias("log_index"),
                         "pool_address", "event_type", "token_amounts",
                         "token_reserves", "token_prices", "token_addresses",
                         "factory_address", "wallet_address", "amm",
-                    ]
-
-                    def on(abis):
-                        return bool({a.topic0 for a in abis} & present_t0s)
-
-                    # family gate (see present_t0s above): an extractor whose
-                    # topics never occur in the batch contributes nothing but
-                    # still costs its broadcast-exchange jobs + Catalyst
-                    # analysis of its join tree — skip it entirely
-                    fams = []
-                    if on(UNISWAP_V2_ABIS):
-                        fams.append(lambda p, pf, tf: extract_dex_trades(p, pf, tf))
-                    if on(UNISWAP_V3_ABIS):
-                        fams.append(lambda p, pf, tf: extract_dex_trades_v3(
-                            p, pf, tf, pool_balances=_pool_balances()))
-                    if on(BALANCER_V2_ABIS):
-                        fams.append(lambda p, pf, tf: extract_dex_trades_balancer(p, tf))
-                    if on(CURVE_ABIS):
-                        fams.append(extract_dex_trades_curve)
-                    if on(DODO_ABIS):
-                        fams.append(extract_dex_trades_dodo)
-                    if on(DODO_V2_ABIS):
-                        fams.append(extract_dex_trades_dodo_v2)
-                    if on(TRADERJOE_ABIS):
-                        fams.append(extract_dex_trades_traderjoe)
-                    if on(ONE_INCH_ABIS):
-                        fams.append(extract_dex_trades_one_inch)
-                    if on(SUSHI_BENTO_ABIS):
-                        fams.append(extract_dex_trades_bento)
-                    if on(WOMBAT_ABIS):
-                        fams.append(lambda p, pf, tf: extract_dex_trades_wombat(p, tf))
-                    if on(CARBON_ABIS):
-                        fams.append(lambda p, pf, tf: extract_dex_trades_carbon(p, tf))
-                    if on(FJORD_ABIS):
-                        fams.append(extract_dex_trades_fjord)
-
-                    if not fams:
-                        cell["raw"] = self.spark.createDataFrame([], TRADE_SHAPE_DDL)
-                        return cell["raw"]
-                    pools_f, tokens_f, _ = _dims()
-                    parsed = _parsed()
-                    parts = [fn(parsed, pools_f, tokens_f).select(*shape) for fn in fams]
-                    trades = parts[0]
-                    for part in parts[1:]:
-                        trades = trades.unionByName(part)
+                    )
                     if stables:
                         # EAGER localCheckpoint, not cache: the USD/owner
                         # enrichment references this frame many times and a
                         # cache only memoizes EXECUTION — Catalyst would
-                        # re-ANALYZE the full multi-extractor union tree per
-                        # reference, which is super-linear and was measured
-                        # as a multi-minute driver-side hang. Checkpointing
+                        # re-ANALYZE the tree per reference; the checkpoint
                         # cuts the logical plan to a leaf.
                         trades = trades.localCheckpoint(eager=True)
                     cell["raw"] = trades
