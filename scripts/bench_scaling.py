@@ -39,8 +39,16 @@ print("RESULT:" + json.dumps(res))
 
 def run_at(cpus: int, repo: str, wal: str, blocks: int, batch: int) -> dict:
     code = RUNNER.format(repo=repo, cpus=cpus, wal=wal, blocks=blocks, batch=batch)
+    env = dict(os.environ)
+    # every level gets the SAME fixed heap (default 32g = 1 GiB/core at the
+    # widest level — the realistic executor memory/core ratio). The whole-WAL
+    # single batch peaks several localCheckpointed frames at once; an 8g heap
+    # under 32 concurrent tasks GC-thrashes and drops checkpoint blocks,
+    # which lineage truncation cannot recompute.
+    env.setdefault("SPARK_DRIVER_MEMORY", "32g")
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=5400
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=5400, env=env,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT:"):
@@ -58,6 +66,8 @@ def main():
     results = {}
     for c in cores:
         results[c] = run_at(c, repo, wal, blocks, batch)
+        # incremental: a crash at a later level must not lose earlier ones
+        print(f"LEVEL {c}: {json.dumps(results[c])}", file=sys.stderr, flush=True)
 
     levels = sorted(results)
     out = {

@@ -303,3 +303,26 @@ def test_combined_family_subset_prunes_output(spark):
 
 def test_family_events_cover_every_abi_namespace():
     assert {a.namespace for a in ALL_ABIS} == set(FAMILY_EVENTS)
+
+
+def test_combined_plan_single_window_exchange_and_broadcast_dims(spark):
+    """The scale property the combined extractor exists for: ALL families
+    share one pools broadcast + one decimals broadcast pair, and the v2/bento
+    exclusive-frame window and the v3 inclusive-frame window plan over a
+    SINGLE (contract_address, transaction_hash) shuffle — not one per family
+    as the 12-extractor union did (~30 exchanges)."""
+    parsed = parse_logs(_fixture_logs(spark), build_inventory(spark, ALL_ABIS), ALL_ABIS)
+    pools, tokens = _dims(spark)
+    plan = (
+        extract_dex_trades_combined(parsed, pools, tokens)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    win_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "contract_address" in ln
+    ]
+    assert len(win_exchanges) == 1, plan[:4000]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:4000]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
