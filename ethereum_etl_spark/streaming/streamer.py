@@ -1592,6 +1592,13 @@ class ChainStreamer:
             F.concat(F.lit("decode_error:"), F.col("entity_type")).alias("kind"),
             F.col("payload").alias("data"),
         )
+        self.dead_letter(errs, batch_id)
+
+    def dead_letter(self, errs: DataFrame, batch_id: str) -> None:
+        """Append (timestamp, kind, data) rows to the errors table — the
+        shared DLQ every ingest front-end routes malformed input to (the
+        reference's dead-letter exchange, cli/amqp_stream.py:84-96,138-141,
+        and errors entity). Idempotent per batch_id like every MERGE."""
         if "errors" not in self.tables:
             self.tables["errors"] = LakeTable.create(
                 self.spark,

@@ -104,3 +104,54 @@ def test_projection_tables(spark, tmp_path):
         F.col("address") == one
     ).count()
     assert s.tables["transactions_by_address"].read().count() == 40
+
+
+def test_amqp_reingest_spans_dlq_idempotent(spark, tmp_path):
+    """S12: message-queue re-ingest — block spans re-exported from the WAL,
+    malformed messages dead-lettered, redelivery absorbed exactly-once
+    (reference cli/amqp_stream.py:111-141 semantics)."""
+    import json
+
+    from ethereum_etl_spark.streaming.amqp import run_amqp_reingest
+
+    p = _wal_dir(spark, tmp_path)
+    wal = spark.read.parquet(p)
+    cfg = StreamerConfig(
+        warehouse=str(tmp_path / "wh"), partition_size=10, entity_types=ENTITIES
+    )
+    s = ChainStreamer(spark, cfg)
+
+    qd = tmp_path / "queue"
+    qd.mkdir()
+    # two disjoint spans (blocks 0-4 named by tx items, 10-19 by block
+    # items) + one malformed message (no item type) → DLQ
+    with open(qd / "m1.json", "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"type": "transaction", "block_number": i}) + "\n")
+        for i in range(10, 20):
+            f.write(json.dumps({"type": "block", "number": i}) + "\n")
+        f.write(json.dumps({"block_number": 3}) + "\n")
+
+    q = run_amqp_reingest(s, str(qd), wal, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(300)
+
+    assert s.tables["blocks"].read().count() == 15  # 0-4 + 10-19
+    assert s.tables["transactions"].read().count() == 30
+    errs = s.tables["errors"].read().filter("kind = 'amqp_no_item_type'")
+    assert errs.count() == 1
+
+    # lineage recorded the coalesced spans
+    amqp = [e for e in s.lineage.entries() if e.get("source") == "amqp"]
+    assert amqp and sorted(map(tuple, amqp[0]["spans"])) == [(0, 4), (10, 19)]
+
+    # second delivery: fills the 5-9 gap AND redelivers 10-14; counts
+    # converge to the full chain with no duplicates
+    with open(qd / "m2.json", "w") as f:
+        for i in range(5, 15):
+            f.write(json.dumps({"type": "log", "block_number": i}) + "\n")
+    q2 = run_amqp_reingest(s, str(qd), wal, str(tmp_path / "ckpt"), available_now=True)
+    q2.awaitTermination(300)
+
+    assert s.tables["blocks"].read().count() == 20
+    assert s.tables["transactions"].read().count() == 40
+    assert s.tables["blocks"].read().select("number").distinct().count() == 20
