@@ -118,20 +118,34 @@ def minhash_signature(
     # expression once PER SLOT (Catalyst doesn't share subexpressions across
     # the branches) — measured 16x slower.
     if hash_fn == "xxhash64":
+        # Scale path: hash each shingle's STRING exactly once (transform),
+        # then derive the per-slot hashes by re-hashing the resulting 8-byte
+        # long with the slot index — hash-once + fixed-width remix, the
+        # standard multi-hash MinHash construction. The fold then runs
+        # entirely over array<long> (8-byte compares, no hex
+        # materialization). Folding 16 full-string hashes into string
+        # slots instead measured 9.1s vs 1.5s for this path at sf0.1.
+        hs = F.transform(sh, lambda s: F.xxhash64(s))
+        init = F.array(
+            *[F.lit(2**63 - 1).cast("long") for _ in range(num_hashes)]
+        )
+        return F.aggregate(
+            hs,
+            init,
+            lambda acc, h: F.zip_with(
+                acc,
+                F.array(*[F.xxhash64(h, F.lit(j)) for j in range(num_hashes)]),
+                lambda a, b: F.least(a, b),
+            ),
+        )
 
-        def hash_arr(s):
-            return F.array(
-                *[F.xxhash64(s, F.lit(j)).cast("string") for j in range(num_hashes)]
-            )
-    else:
-
-        def hash_arr(s):
-            return F.array(
-                *[F.md5(F.concat(F.lit(f"{j}:"), s)) for j in range(num_hashes)]
-            )
+    def hash_arr(s):
+        return F.array(
+            *[F.md5(F.concat(F.lit(f"{j}:"), s)) for j in range(num_hashes)]
+        )
 
     # '~' (0x7e) sorts after every hex digit and '-', so it is an identity
-    # for string-min over md5 hex / decimal-string hashes
+    # for string-min over md5 hex hashes
     init = F.array(*[F.lit("~") for _ in range(num_hashes)])
     return F.aggregate(
         sh,

@@ -9,9 +9,9 @@ from ethereum_etl_spark.session import get_spark
 def spark():
     s = get_spark(
         app_name="tests",
-        master="local[4]",
-        shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "4g", "spark.sql.adaptive.enabled": "true"},
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.driver.memory": "8g", "spark.sql.adaptive.enabled": "true"},
     )
     yield s
 

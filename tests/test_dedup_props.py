@@ -63,3 +63,24 @@ def test_simhash_candidates_complete_vs_brute_force(spark, max_hamming):
     }
     assert got == expected
     assert expected, "degenerate test: no qualifying pairs generated"
+
+
+def test_minhash_xxhash64_exact_dupes(spark):
+    """The scale-path hash family (hash-once + per-slot long remix) must
+    still give identical signatures to identical texts and emit exact
+    duplicates at est_jaccard 1.0."""
+    from ethereum_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely different text about spark shuffle planning"),
+            (4, "another unrelated document mentioning catalyst optimizer rules"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, hash_fn="xxhash64")
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 1.0
+    assert all(k == (1, 2) for k in got), got

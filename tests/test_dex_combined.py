@@ -50,6 +50,32 @@ from ethereum_etl_spark.operators.dex_combined import (
     extract_dex_trades_combined,
 )
 from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
+import pytest
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    """parse_logs over the all-family fixture, materialized ONCE
+    (localCheckpoint): the decode tree is itself a large plan, and leaving
+    it inline multiplies every test's Catalyst analysis by its size. The
+    extractors under test see identical rows either way."""
+    df = parse_logs(
+        _fixture_logs(spark), build_inventory(spark, ALL_ABIS), ALL_ABIS
+    ).localCheckpoint()
+    df.count()
+    return df
+
+
+@pytest.fixture(autouse=True)
+def _no_aqe(spark):
+    """These fixtures are a few dozen rows under the two largest plans in
+    the repo; AQE's per-stage re-optimization doubles the (planning-bound)
+    wall time while optimizing nothing. Production/replay tests keep AQE on."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield
+    spark.conf.set("spark.sql.adaptive.enabled", prev)
+
 
 ALL_ABIS = (
     UNISWAP_V2_ABIS + UNISWAP_V3_ABIS + BALANCER_V2_ABIS + CURVE_ABIS
@@ -252,28 +278,31 @@ def _rows_equal(a, b):
     return {k: norm(a[k]) for k in a.asDict()} == {k: norm(b[k]) for k in b.asDict()}
 
 
-def _assert_equivalent(combined, union):
-    got = sorted(combined.collect(), key=_key)
+def _assert_equivalent(combined, union, got=None):
+    """Collect each side EXACTLY once — these are the two largest plans in
+    the repo (12 families × windows × dim joins); every extra action pays
+    the full Catalyst analysis again (~30s driver-side at any data size)."""
+    got = sorted(combined.collect(), key=_key) if got is None else sorted(got, key=_key)
     want = sorted(
         union.select(*combined.columns).collect(), key=_key
     )
     assert [_key(r) for r in got] == [_key(r) for r in want]
     for g, w in zip(got, want):
         assert _rows_equal(g, w), (g, w)
+    return got
 
 
-def test_combined_equals_union_all_families(spark):
-    parsed = parse_logs(_fixture_logs(spark), build_inventory(spark, ALL_ABIS), ALL_ABIS)
+def test_combined_equals_union_all_families(spark, parsed):
     pools, tokens = _dims(spark)
     combined = extract_dex_trades_combined(parsed, pools, tokens)
     union = _union_of_individual(parsed, pools, tokens)
-    assert combined.count() == 22  # every family present, drops applied
-    assert combined.select("amm").distinct().count() == 12
-    _assert_equivalent(combined, union)
+    rows = combined.collect()
+    assert len(rows) == 22  # every family present, drops applied
+    assert len({r["amm"] for r in rows}) == 12
+    _assert_equivalent(combined, union, got=rows)
 
 
-def test_combined_equals_union_with_v3_asof_reserves(spark):
-    parsed = parse_logs(_fixture_logs(spark), build_inventory(spark, ALL_ABIS), ALL_ABIS)
+def test_combined_equals_union_with_v3_asof_reserves(spark, parsed):
     pools, tokens = _dims(spark)
     balances = spark.createDataFrame(
         [
@@ -285,13 +314,12 @@ def test_combined_equals_union_with_v3_asof_reserves(spark):
     )
     combined = extract_dex_trades_combined(parsed, pools, tokens, pool_balances=balances)
     union = _union_of_individual(parsed, pools, tokens, pool_balances=balances)
-    _assert_equivalent(combined, union)
-    v3 = [r for r in combined.collect() if r["amm"] == "uniswap_v3"]
+    rows = _assert_equivalent(combined, union)
+    v3 = [r for r in rows if r["amm"] == "uniswap_v3"]
     assert all(r["token_reserves"][0] > 0 for r in v3)
 
 
-def test_combined_family_subset_prunes_output(spark):
-    parsed = parse_logs(_fixture_logs(spark), build_inventory(spark, ALL_ABIS), ALL_ABIS)
+def test_combined_family_subset_prunes_output(spark, parsed):
     pools, tokens = _dims(spark)
     sub = extract_dex_trades_combined(
         parsed, pools, tokens, families=["curve", "wombat"]
@@ -305,13 +333,12 @@ def test_family_events_cover_every_abi_namespace():
     assert {a.namespace for a in ALL_ABIS} == set(FAMILY_EVENTS)
 
 
-def test_combined_plan_single_window_exchange_and_broadcast_dims(spark):
+def test_combined_plan_single_window_exchange_and_broadcast_dims(spark, parsed):
     """The scale property the combined extractor exists for: ALL families
     share one pools broadcast + one decimals broadcast pair, and the v2/bento
     exclusive-frame window and the v3 inclusive-frame window plan over a
     SINGLE (contract_address, transaction_hash) shuffle — not one per family
     as the 12-extractor union did (~30 exchanges)."""
-    parsed = parse_logs(_fixture_logs(spark), build_inventory(spark, ALL_ABIS), ALL_ABIS)
     pools, tokens = _dims(spark)
     plan = (
         extract_dex_trades_combined(parsed, pools, tokens)
