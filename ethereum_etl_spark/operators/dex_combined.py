@@ -140,6 +140,10 @@ def extract_dex_trades_combined(
     )
 
     # ---- ONE pools attach (LEFT; inner-join semantics restored below) ----
+    # Missing dimension columns are projected as NULL on the (tiny) pools
+    # side rather than patched onto the joined tree afterwards: every extra
+    # DataFrame transformation here re-runs eager analysis over the whole
+    # accumulated tree — a measurable serial per-cycle driver cost.
     need_pool = bool(fams - _IN_EVENT_FAMILIES)
     has_amm = "amm" in pools.columns
     has_underlying = "underlying_token_addresses" in pools.columns
@@ -148,24 +152,25 @@ def extract_dex_trades_combined(
             F.col("address").alias("contract_address"),
             F.col("factory_address").alias("__pfactory"),
             F.col("token_addresses").alias("__ptoks"),
+            (F.col("amm") if has_amm else F.lit(None).cast("string")).alias("__pamm"),
+            (
+                F.col("underlying_token_addresses")
+                if has_underlying
+                else F.lit(None).cast("array<string>")
+            ).alias("__punder"),
         ]
-        if has_amm:
-            pcols.append(F.col("amm").alias("__pamm"))
-        if has_underlying:
-            pcols.append(
-                F.col("underlying_token_addresses").alias("__punder")
-            )
         ev = ev.join(
             F.broadcast(pools.select(*pcols)), on="contract_address", how="left"
         )
     else:
-        ev = ev.withColumn("__pfactory", F.lit(None).cast("string")).withColumn(
-            "__ptoks", F.lit(None).cast("array<string>")
+        ev = ev.withColumns(
+            {
+                "__pfactory": F.lit(None).cast("string"),
+                "__ptoks": F.lit(None).cast("array<string>"),
+                "__pamm": F.lit(None).cast("string"),
+                "__punder": F.lit(None).cast("array<string>"),
+            }
         )
-    if not has_amm or not need_pool:
-        ev = ev.withColumn("__pamm", F.lit(None).cast("string"))
-    if not has_underlying or not need_pool:
-        ev = ev.withColumn("__punder", F.lit(None).cast("array<string>"))
 
     in_event = fam.isin(*sorted(_IN_EVENT_FAMILIES)) if fams & _IN_EVENT_FAMILIES else F.lit(False)
     # per-family INNER join semantics: pool-dimension families drop rows
@@ -199,7 +204,7 @@ def extract_dex_trades_combined(
     if "carbondefi" in fams:
         leg_a = F.when(fam == "carbondefi", F.lower(pe["sourceToken"])).otherwise(leg_a)
         leg_b = F.when(fam == "carbondefi", F.lower(pe["targetToken"])).otherwise(leg_b)
-    ev = ev.withColumn("__t0", leg_a).withColumn("__t1", leg_b)
+    ev = ev.withColumns({"__t0": leg_a, "__t1": leg_b})
     if "curve" in fams:
         # curve's out-of-range coin index → resolve-failure skip
         ev = ev.filter(
@@ -209,21 +214,24 @@ def extract_dex_trades_combined(
 
     # ---- ONE pair of decimals joins ----
     tok = tokens.select("address", "decimals")
-    ev = (
-        ev.join(
-            F.broadcast(tok.select(F.col("address").alias("__t0"), F.col("decimals").alias("__d0"))),
-            on="__t0", how="left",
-        )
-        .join(
-            F.broadcast(tok.select(F.col("address").alias("__t1"), F.col("decimals").alias("__d1"))),
-            on="__t1", how="left",
-        )
-        .withColumn("__s0", F.pow(F.lit(10.0), F.coalesce("__d0", F.lit(18))))
-        .withColumn("__s1", F.pow(F.lit(10.0), F.coalesce("__d1", F.lit(18))))
+    ev = ev.join(
+        F.broadcast(tok.select(F.col("address").alias("__t0"), F.col("decimals").alias("__d0"))),
+        on="__t0", how="left",
+    ).join(
+        F.broadcast(tok.select(F.col("address").alias("__t1"), F.col("decimals").alias("__d1"))),
+        on="__t1", how="left",
     )
+    # inline-able twins of __s0/__s1 for expressions created in the SAME
+    # withColumns pass (a pass may not reference columns it creates)
+    s0x = F.pow(F.lit(10.0), F.coalesce("__d0", F.lit(18)))
+    s1x = F.pow(F.lit(10.0), F.coalesce("__d1", F.lit(18)))
+    scale_cols = {"__s0": s0x, "__s1": s1x}
     s0, s1 = F.col("__s0"), F.col("__s1")
 
     # ---- ONE window shuffle: v2/bento Sync reserves + v3 sqrtPriceX96 ----
+    # The Sync marks are inlined into the window arguments and every derived
+    # column lands in ONE withColumns pass (single tree re-analysis).
+    win_cols: dict = {}
     sync_fams = fams & {"uniswap_v2", "sushiswap_bento"}
     if sync_fams:
         w_excl = (
@@ -232,16 +240,15 @@ def extract_dex_trades_combined(
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         is_sync = fam.isin(*sorted(sync_fams)) & (F.col("event_name") == "Sync")
-        ev = (
-            ev.withColumn("__sync_r0", F.when(is_sync, _pe("reserve0")))
-            .withColumn("__sync_r1", F.when(is_sync, _pe("reserve1")))
-            .withColumn("__res0", F.last("__sync_r0", ignorenulls=True).over(w_excl) / s0)
-            .withColumn("__res1", F.last("__sync_r1", ignorenulls=True).over(w_excl) / s1)
+        win_cols["__res0"] = (
+            F.last(F.when(is_sync, _pe("reserve0")), ignorenulls=True).over(w_excl) / s0x
+        )
+        win_cols["__res1"] = (
+            F.last(F.when(is_sync, _pe("reserve1")), ignorenulls=True).over(w_excl) / s1x
         )
     else:
-        ev = ev.withColumn("__res0", F.lit(None).cast("double")).withColumn(
-            "__res1", F.lit(None).cast("double")
-        )
+        win_cols["__res0"] = F.lit(None).cast("double")
+        win_cols["__res1"] = F.lit(None).cast("double")
     if "uniswap_v3" in fams:
         from ethereum_etl_spark.functions.hex import hex_to_double
 
@@ -254,10 +261,12 @@ def extract_dex_trades_combined(
             (fam == "uniswap_v3") & (F.col("event_name") == "Swap"),
             hex_to_double(pe["sqrtPriceX96"]),
         )
-        ev = ev.withColumn("__sqrtp", F.last(sqrtp_mark, ignorenulls=True).over(w_incl))
+        win_cols["__sqrtp"] = F.last(sqrtp_mark, ignorenulls=True).over(w_incl)
 
     # Sync rows only feed the window
-    ev = ev.filter(F.col("event_name") != "Sync")
+    ev = ev.withColumns({**scale_cols, **win_cols}).filter(
+        F.col("event_name") != "Sync"
+    )
 
     # ---- per-family arithmetic ----
     en = F.col("event_name")
@@ -330,7 +339,7 @@ def extract_dex_trades_combined(
         ("carbondefi", -_pe("targetAmount") / s1),
         ("fjord", (F.when(fj_buy, _pe("shares")).otherwise(-_pe("shares"))) / s1),
     ])
-    ev = ev.withColumn("__a0", a0).withColumn("__a1", a1)
+    ev = ev.withColumns({"__a0": a0, "__a1": a1})
     ra0, ra1 = F.col("__a0"), F.col("__a1")
 
     # prices
