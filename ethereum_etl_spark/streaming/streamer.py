@@ -59,7 +59,8 @@ _SOURCE_ENTITY = {
     "token_transfers": "log", "tokens": "token",
     "token_balances": "log", "token_balances_latest": "log",
     "native_balances": "transaction", "native_balances_latest": "transaction",
-    "dex_pools": "log", "price_marks": "log", "dex_trades": "log",
+    "dex_pools": "log", "price_marks": "log", "price_marks_latest": "log",
+    "dex_trades": "log",
     "logs_by_address": "log", "transactions_by_address": "transaction",
     "candles_1m": "log", "candles_5m": "log", "candles_1h": "log",
     "candles_1d": "log",
@@ -327,6 +328,13 @@ class ChainStreamer:
                 tbl("price_marks", PRICE_MARK_SCHEMA,
                     ["token_address", "block_number", "log_index"],
                     stamped=False)
+                # compact head: latest mark per token (same idiom as the
+                # *_balances_latest projections) — the per-cycle pricing
+                # carry, so the as-of never re-scans mark HISTORY (r4: that
+                # scan grew linearly with chain history, turning the replay
+                # quadratic)
+                tbl("price_marks_latest", PRICE_MARK_SCHEMA,
+                    ["token_address"], psize=10**15, stamped=False)
         if self.cfg.projections:
             if "log" in want:
                 # re-keyed copy: lookups by emitting contract address
@@ -402,6 +410,7 @@ class ChainStreamer:
         want = set(self.cfg.entity_types)
         token_transfers = None
         enriched_tx = None
+        batch_token_balances = None  # this batch's balance rows (v3 reserves)
         if "block" in want:
             add("blocks", stamp(get("block"), "block", ts_col="timestamp"))
         if "transaction" in want:
@@ -459,6 +468,7 @@ class ChainStreamer:
         if "token_balance" in want and token_transfers is not None:
             carry = self.tables["token_balances_latest"].read()
             tb = token_balances_from_transfers(token_transfers, carry_in=carry).cache()
+            batch_token_balances = tb
             if aux_cache is not None:
                 aux_cache.append(tb)  # consumed by BOTH history and latest merges
             add("token_balances", stamp(tb, "token_balance"))
@@ -689,39 +699,47 @@ class ChainStreamer:
                 return cell["dims"]
 
             def _pool_balances():
-                """Committed ERC-20 balance history for the batch's emitting
-                pools — the v3 reserves as-of source (VERDICT r3 item 7; the
-                reference point-calls balanceOf(pool) per trade block,
-                uniswap_v3.py:123-132). Key-filtered to the batch's pool
-                addresses BEFORE the as-of: the history table is unbounded
-                but a batch only probes the pools its logs touch. None when
+                """ERC-20 balance view for the batch's emitting pools — the
+                v3 reserves as-of source (VERDICT r3 item 7; the reference
+                point-calls balanceOf(pool) per trade block,
+                uniswap_v3.py:123-132). Input = this batch's balance rows +
+                the PRE-batch latest balance per key (token_balances_latest
+                — its merge waits on dex_trades/price_marks via DEPS, so
+                this read is the pre-batch head even on crash replay). For
+                any probe inside the batch the as-of result equals scanning
+                full history: every earlier row is dominated by its key's
+                latest. r4: the previous history semi-join re-scanned every
+                committed balance row each cycle — cost grew linearly with
+                chain history, turning the replay quadratic. None when
                 balances aren't maintained — reserves fall back to 0, the
                 reference's RPC-error default."""
                 if "pb" not in cell:
-                    if "token_balances" not in self.tables:
+                    if "token_balances_latest" not in self.tables:
                         cell["pb"] = None
                     else:
                         pools_f, _, _ = _dims()
+                        pool_keys = F.broadcast(
+                            pools_f.select(F.col("address").alias("holder_address"))
+                        )
+                        cols = [
+                            "holder_address", "token_address",
+                            "block_number", "value",
+                        ]
+
                         # ERC-20 rows only (token_id NULL): an ERC-1155
                         # balance shares (holder, token, block) across ids
                         # and would make the as-of pick nondeterministic
-                        hist = (
-                            self.tables["token_balances"]
-                            .read()
-                            .filter(F.col("token_id").isNull())
-                        )
-                        cell["pb"] = hist.join(
-                            F.broadcast(
-                                pools_f.select(
-                                    F.col("address").alias("holder_address")
-                                )
-                            ),
-                            on="holder_address",
-                            how="left_semi",
-                        ).select(
-                            "holder_address", "token_address",
-                            "block_number", "value",
-                        )
+                        def pool_rows(df):
+                            return (
+                                df.filter(F.col("token_id").isNull())
+                                .join(pool_keys, on="holder_address", how="left_semi")
+                                .select(*cols)
+                            )
+
+                        pb = pool_rows(self.tables["token_balances_latest"].read())
+                        if batch_token_balances is not None:
+                            pb = pb.unionByName(pool_rows(batch_token_balances))
+                        cell["pb"] = pb
                 return cell["pb"]
 
             def _raw_trades():
@@ -769,33 +787,74 @@ class ChainStreamer:
             if stables:
                 from ethereum_etl_spark.operators.pricing import stable_price_marks
 
-                def _marks():
-                    marks = stable_price_marks(_raw_trades(), stables)
-                    return (
-                        marks.select(
-                            "token_address", "block_number",
-                            F.col("log_index").cast("int").alias("log_index"),
-                            "price_stable",
-                        ),
-                        {"version_col": None},
-                    )
+                def _marks_frame():
+                    """This batch's stable-price marks, materialized once —
+                    shared by the price_marks merge, the head projection AND
+                    the trade pricing below (the eager checkpoint cuts the
+                    raw-trades plan to a leaf for all three consumers)."""
+                    if "marks" not in cell:
+                        cell["marks"] = (
+                            stable_price_marks(_raw_trades(), stables)
+                            .select(
+                                "token_address", "block_number",
+                                F.col("log_index").cast("int").alias("log_index"),
+                                "price_stable",
+                            )
+                            .localCheckpoint(eager=True)
+                        )
+                    return cell["marks"]
 
-                add("price_marks", None, df_fn=_marks)
+                add(
+                    "price_marks", None,
+                    df_fn=lambda: (_marks_frame(), {"version_col": None}),
+                )
+
+                def _marks_latest():
+                    # latest mark per token from THIS batch; version_col
+                    # keeps the stored head when a replayed/older batch
+                    # carries a lower block (same idiom as the balance heads)
+                    lat = (
+                        _marks_frame()
+                        .groupBy("token_address")
+                        .agg(
+                            F.max_by(
+                                F.struct("block_number", "log_index", "price_stable"),
+                                F.struct("block_number", "log_index"),
+                            ).alias("__m")
+                        )
+                        .select(
+                            "token_address", "__m.block_number",
+                            "__m.log_index", "__m.price_stable",
+                        )
+                    )
+                    return lat, {"version_col": "block_number", "full_touch": True}
+
+                add("price_marks_latest", None, df_fn=_marks_latest)
 
             def _trades():
                 # J7 in the loop (enrich_dex_trades_job.py:38-108): persist
                 # the enriched+priced+owned shape, not the raw assembly.
-                # Pricing reads the COMMITTED price_marks table (this batch's
-                # marks included — DEPS orders that merge first), so the
-                # as-of never sees future marks and replay is deterministic.
+                # Pricing input = this batch's marks ∪ the pre-batch latest
+                # mark per token (price_marks_latest — merged AFTER this
+                # table by DEPS, so the read is the pre-batch head even on
+                # crash replay). For every probe in this batch the as-of
+                # equals a full-history scan: all earlier marks are
+                # dominated by their token's latest. r4: reading the
+                # accumulated price_marks table here grew linearly with
+                # chain history per cycle (quadratic replay — profiled as
+                # the dominant tail cost of the dex-inclusive bench).
                 raw = _raw_trades()
                 if not stables:
                     return stamp(raw, "dex_trade"), {}
                 from ethereum_etl_spark.operators.pricing import enrich_trades_usd
                 from ethereum_etl_spark.operators.swap_owner import detect_swap_owners
 
-                marks_tbl = self.tables["price_marks"].read()
-                priced = enrich_trades_usd(raw, stables, marks=marks_tbl)
+                carry = self.tables["price_marks_latest"].read().select(
+                    "token_address", "block_number", "log_index", "price_stable"
+                )
+                priced = enrich_trades_usd(
+                    raw, stables, marks=_marks_frame().unionByName(carry)
+                )
                 # same plan-cut rationale as _raw_trades: owner detection
                 # joins this frame several times
                 priced = priced.localCheckpoint(eager=True)
@@ -1117,16 +1176,19 @@ class ChainStreamer:
         # guards the carry-file GC race).
         DEPS = {
             **{f"candles_{b}": ["token_transfers"] for b in CANDLE_BUCKETS},
-            "token_balances_latest": ["token_balances"],
+            # head tables (latest-state projections) merge AFTER every
+            # consumer of their PRE-batch state: the balance heads feed the
+            # v3 reserve as-of and the mark head feeds trade pricing — both
+            # inside the shared _raw_trades/_trades build — so those heads
+            # wait for price_marks/dex_trades. On crash replay the recompute
+            # then reads the same pre-batch head the first attempt saw, and
+            # the already-committed downstream merges no-op on batch_id.
+            # (Deps naming tables absent from this batch are skipped.)
+            "token_balances_latest": ["token_balances", "price_marks", "dex_trades"],
             "native_balances_latest": ["native_balances"],
-            # token_balances feeds the v3 as-of reserve lookup inside the
-            # shared _raw_trades build (first materialized by whichever of
-            # price_marks/dex_trades merges first) — both wait for it so the
-            # reserves snapshot deterministically includes the batch's own
-            # balance rows (reference balanceOf-at-block semantics,
-            # uniswap_v3.py:123-132) regardless of merge interleaving.
-            "price_marks": ["dex_pools", "tokens", "token_balances"],
-            "dex_trades": ["dex_pools", "tokens", "price_marks", "token_balances"],
+            "price_marks": ["dex_pools", "tokens"],
+            "dex_trades": ["dex_pools", "tokens"],
+            "price_marks_latest": ["price_marks", "dex_trades"],
         }
         if self.cfg.parallel_merges and len(derived) > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -1145,16 +1207,46 @@ class ChainStreamer:
 
                     futures[name] = ex.submit(task)
 
-                for n, d in derived.items():
-                    if n not in DEPS:
-                        _submit(n, d)
-                for n, d in derived.items():
-                    if n in DEPS:
-                        _submit(n, d)
+                # topological submission: a task() only waits on deps whose
+                # futures exist when it RUNS, so every dep must be submitted
+                # before its dependents (token_balances_latest's dep on
+                # dex_trades points at a table added later in _derive —
+                # plain dict-order submission would skip that wait)
+                order: list[str] = []
+                seen: set[str] = set()
+
+                def visit(n):
+                    if n in seen:
+                        return
+                    seen.add(n)
+                    for dep in DEPS.get(n, []):
+                        if dep in derived:
+                            visit(dep)
+                    order.append(n)
+
+                for n in derived:
+                    visit(n)
+                for n in order:
+                    _submit(n, derived[n])
                 for f in futures.values():
                     f.result()  # propagate failures
         else:
-            ordered = [n for n in derived if n not in DEPS] + [n for n in derived if n in DEPS]
+            # same topological discipline as the concurrent path: heads
+            # merge only after every consumer of their pre-batch state
+            ordered: list[str] = []
+            seen_s: set[str] = set()
+
+            def visit_s(n):
+                if n in seen_s:
+                    return
+                seen_s.add(n)
+                for dep in DEPS.get(n, []):
+                    if dep in derived:
+                        visit_s(dep)
+                ordered.append(n)
+
+            for n in derived:
+                visit_s(n)
             for name in ordered:
                 _merge_one(name, derived[name])
         phase_secs["merges"] = round(time.time() - __t, 3)
@@ -1533,7 +1625,35 @@ class ChainStreamer:
                     )
                 )
             )
-        toks = toks.distinct()
+        toks = toks.distinct().localCheckpoint(eager=True)
+        if not toks.isEmpty() and "price_marks_latest" in self.tables:
+            # rebuild the per-token mark head for affected tokens from the
+            # repaired history (delete+upsert: a token whose every mark was
+            # orphaned leaves the head entirely, so future carries can't
+            # resurrect an orphaned price)
+            new_head = (
+                marks_t.read()
+                .join(toks, on="token_address", how="left_semi")
+                .groupBy("token_address")
+                .agg(
+                    F.max_by(
+                        F.struct("block_number", "log_index", "price_stable"),
+                        F.struct("block_number", "log_index"),
+                    ).alias("__m")
+                )
+                .select(
+                    "token_address", "__m.block_number",
+                    "__m.log_index", "__m.price_stable",
+                )
+            )
+            self.tables["price_marks_latest"].merge_upsert(
+                new_head,
+                batch_id=f"{batch_id}/marks-head-fix",
+                version_col=None,
+                delete_keys=toks,
+                delete_key_cols=["token_address"],
+                touched_range=(0, 0),
+            )
         t = self.tables["dex_trades"]
         cand = t.read(prune_min=min_rb, prune_max=hi_bn).filter(
             F.col("block_number").between(min_rb, hi_bn)
@@ -1545,6 +1665,16 @@ class ChainStreamer:
             cand.select(*key, F.explode("token_addresses").alias("token_address"))
             .join(toks, on="token_address", how="left_semi")
             .select(*key)
+            # trades AT the reorged blocks were re-assembled in the fork
+            # batch and priced against the head carry, whose per-token
+            # position can be AHEAD of those old blocks — their as-of saw no
+            # mark at all (every probe below the head is blind). Re-enrich
+            # them against full history unconditionally; probes at the
+            # batch's own [lo, hi] blocks are never below the head, so this
+            # is the complete set of head-blind rows.
+            .unionByName(
+                cand.filter(F.col("block_number").isin(reorg_blocks)).select(*key)
+            )
             .distinct()
         )
         affected = cand.join(akeys, on=key, how="left_semi")
