@@ -228,7 +228,53 @@ def parse_logs(
         "t", F.transform(F.col("topics"), lambda x: F.regexp_replace(x, "^0x", ""))
     ).withColumn("w", split_to_words(F.col("data")))
 
-    # compile param extraction per (topic0, count) into one when-chain
+    # Pre-decode each distinct (source, position, type-class) ONCE as its
+    # own projection column, then assemble the per-ABI maps from cheap
+    # column references. The previous shape inlined the full decode
+    # expression per ABI param inside ONE when-chain column: whole-stage
+    # codegen emits a single column's expression into processNext()
+    # undivided, the generated method crossed the JVM's 64 KB limit
+    # ("Code grows beyond 64 KB" — InternalCompilerException), and every
+    # batch paid a multi-second FAILED Janino compile and then ran the
+    # stage INTERPRETED. Separate columns split into separate codegen
+    # methods; shared decodes (e.g. word-0-as-uint across every Swap
+    # family) are also computed once instead of per ABI.
+    def _canon(kind: str, ptype: str) -> str:
+        if kind == "tdyn":
+            return "raw"  # indexed dynamic: raw topic word for any ptype
+        if _is_dynamic(ptype):
+            return ptype  # tail decode differs per exact type (string/bytes/T[])
+        if ptype in ("address", "bool"):
+            return ptype
+        if ptype.startswith("uint"):
+            return "uint"
+        if ptype.startswith("int"):
+            return "int"
+        return "raw"
+
+    dec_name: dict[tuple, str] = {}
+    dec_exprs: list = []
+
+    def _dec(kind: str, idx: int, ptype: str):
+        key = (kind, idx, _canon(kind, ptype))
+        if key not in dec_name:
+            name = f"__dec_{len(dec_name)}"
+            if kind == "tdyn":
+                e = F.concat(F.lit("0x"), F.get("t", idx))
+            elif kind == "t":
+                e = _decode_param(F.get("t", idx), ptype)
+            elif kind == "wdyn":
+                e = _decode_dynamic(
+                    F.get("w", idx), ptype, F.col("w"), F.col("data")
+                )
+            else:  # "w"
+                e = _decode_param(F.get("w", idx), ptype)
+            dec_name[key] = name
+            dec_exprs.append(e.alias(name))
+        return F.col(dec_name[key])
+
+    # compile param extraction per (topic0, count) into one when-chain of
+    # create_map over the pre-decoded columns
     parsed = F.lit(None).cast("map<string,string>")
     for abi in abis:
         cond = (F.col("event_signature_hash") == abi.topic0) & (
@@ -241,25 +287,16 @@ def parse_logs(
             if inp.get("indexed"):
                 # indexed dynamic params are stored as their keccak hash in
                 # the topic — web3 returns the hash too; keep the raw word
-                word = F.get("t", ti)
+                decoded = _dec("tdyn" if _is_dynamic(ptype) else "t", ti, ptype)
                 ti += 1
-                decoded = (
-                    F.concat(F.lit("0x"), word)
-                    if _is_dynamic(ptype)
-                    else _decode_param(word, ptype)
-                )
             else:
-                word = F.get("w", wi)  # head word (offset for dynamic types)
+                decoded = _dec("wdyn" if _is_dynamic(ptype) else "w", wi, ptype)
                 wi += 1
-                decoded = (
-                    _decode_dynamic(word, ptype, F.col("w"), F.col("data"))
-                    if _is_dynamic(ptype)
-                    else _decode_param(word, ptype)
-                )
             entries.append(F.lit(inp["name"]))
             entries.append(decoded)
         parsed = F.when(cond, F.create_map(*entries)).otherwise(parsed)
 
+    base = base.select("*", *dec_exprs)
     return base.withColumn("parsed_event", parsed).select(
         "block_number",
         "transaction_hash",

@@ -23,6 +23,7 @@ prune column) — nothing else.
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -510,6 +511,29 @@ class ChainStreamer:
         dex_pools_batch = None
         present_families: list = []
         dex_cell: dict = {}  # per-batch memo shared by discovery + trades
+        dex_lock = threading.RLock()
+        # per-step build seconds → lineage dex_step_secs (the dict object is
+        # shared with the lineage writer and filled lazily as merges demand
+        # the frames — merges complete before the lineage row is built)
+        dex_secs: dict = {}
+        self._dex_secs = dex_secs
+
+        def _dex_memo(key, build):
+            """Thread-safe per-batch memo. The price_marks and dex_trades
+            merges run in CONCURRENT threads (parallel_merges) and both
+            demand the parsed/dims/raw-trades/marks frames; a bare dict
+            check-then-set races, so each thread ran the eager-checkpoint
+            job independently — the duplicated combined-extract execution
+            was the dominant avoidable cost of the dex critical path.
+            RLock, not Lock: builders nest (_raw_trades → _dims → _parsed)
+            on one thread."""
+            if key not in dex_cell:
+                with dex_lock:
+                    if key not in dex_cell:
+                        __t0 = time.time()
+                        dex_cell[key] = build()
+                        dex_secs[key] = round(time.time() - __t0, 3)
+            return dex_cell[key]
         if "dex_pool" in want or "dex_trade" in want:
             from ethereum_etl_spark.operators.dex import (
                 DISCOVERED_POOL_DDL,
@@ -542,24 +566,25 @@ class ChainStreamer:
             ]
 
             def _parsed():
-                if "parsed" not in dex_cell:
-                    # ONE parse pass shared by pool discovery AND trade
-                    # assembly: combined inventory = factory ABIs + the
-                    # batch's present families (factory ABIs always in so
-                    # the inventory is never empty; topic0s are disjoint).
-                    # EAGER localCheckpoint, not cache: discovery + probes +
-                    # the extractor + marks all reference this frame — a
-                    # cache memoizes execution but Catalyst still re-analyzes
-                    # the parse tree per reference; the checkpoint cuts it
-                    # to a leaf once per batch.
+                # ONE parse pass shared by pool discovery AND trade
+                # assembly: combined inventory = factory ABIs + the
+                # batch's present families (factory ABIs always in so
+                # the inventory is never empty; topic0s are disjoint).
+                # EAGER localCheckpoint, not cache: discovery + probes +
+                # the extractor + marks all reference this frame — a
+                # cache memoizes execution but Catalyst still re-analyzes
+                # the parse tree per reference; the checkpoint cuts it
+                # to a leaf once per batch.
+                def build():
                     all_abis = list(FACTORY_ABIS) + [
                         a for f in present_families for a in FAMILY_ABIS[f]
                     ]
                     inv = build_inventory(self.spark, all_abis)
-                    dex_cell["parsed"] = parse_logs(
+                    return parse_logs(
                         get("log"), inv, all_abis
                     ).localCheckpoint(eager=True)
-                return dex_cell["parsed"]
+
+                return _dex_memo("parsed", build)
 
             if factory_hit:
                 parsed_factory = _parsed()
@@ -607,9 +632,8 @@ class ChainStreamer:
             batch_tokens = get("token") if "token" in want else None
             batch_transfers = token_transfers
             stables = [s.lower() for s in self.cfg.stablecoins]
-            cell = dex_cell  # shared with discovery: one parse per batch
 
-            def _dims():
+            def _dims_build():
                 """(pools, tokens) dims, KEY-FILTERED to the batch's probe
                 sets before broadcast (VERDICT r2 'what's wrong #2': mainnet
                 has ~3M pools / ~1M tokens — broadcasting the full dims every
@@ -617,8 +641,6 @@ class ChainStreamer:
                 ever probes the handful of addresses its logs touch). The
                 full-dim reads behind the filter come from the cross-cycle
                 snapshot cache (_dim_snapshot)."""
-                if "dims" in cell:
-                    return cell["dims"]
                 parsed = _parsed()
                 pool_cols = ["address", "factory_address", "token_addresses", "amm"]
                 if "dex_pools" in self.tables:
@@ -695,8 +717,10 @@ class ChainStreamer:
                 # pinning them is cheap.
                 pools_f = pools_f.localCheckpoint(eager=True)
                 tokens_f = tokens_f.localCheckpoint(eager=True)
-                cell["dims"] = (pools_f, tokens_f, pools_dim)
-                return cell["dims"]
+                return (pools_f, tokens_f, pools_dim)
+
+            def _dims():
+                return _dex_memo("dims", _dims_build)
 
             def _pool_balances():
                 """ERC-20 balance view for the batch's emitting pools — the
@@ -713,42 +737,41 @@ class ChainStreamer:
                 chain history, turning the replay quadratic. None when
                 balances aren't maintained — reserves fall back to 0, the
                 reference's RPC-error default."""
-                if "pb" not in cell:
+                def build():
                     if "token_balances_latest" not in self.tables:
-                        cell["pb"] = None
-                    else:
-                        pools_f, _, _ = _dims()
-                        pool_keys = F.broadcast(
-                            pools_f.select(F.col("address").alias("holder_address"))
+                        return None
+                    pools_f, _, _ = _dims()
+                    pool_keys = F.broadcast(
+                        pools_f.select(F.col("address").alias("holder_address"))
+                    )
+                    cols = [
+                        "holder_address", "token_address",
+                        "block_number", "value",
+                    ]
+
+                    # ERC-20 rows only (token_id NULL): an ERC-1155
+                    # balance shares (holder, token, block) across ids
+                    # and would make the as-of pick nondeterministic
+                    def pool_rows(df):
+                        return (
+                            df.filter(F.col("token_id").isNull())
+                            .join(pool_keys, on="holder_address", how="left_semi")
+                            .select(*cols)
                         )
-                        cols = [
-                            "holder_address", "token_address",
-                            "block_number", "value",
-                        ]
 
-                        # ERC-20 rows only (token_id NULL): an ERC-1155
-                        # balance shares (holder, token, block) across ids
-                        # and would make the as-of pick nondeterministic
-                        def pool_rows(df):
-                            return (
-                                df.filter(F.col("token_id").isNull())
-                                .join(pool_keys, on="holder_address", how="left_semi")
-                                .select(*cols)
-                            )
+                    pb = pool_rows(self.tables["token_balances_latest"].read())
+                    if batch_token_balances is not None:
+                        pb = pb.unionByName(pool_rows(batch_token_balances))
+                    return pb
 
-                        pb = pool_rows(self.tables["token_balances_latest"].read())
-                        if batch_token_balances is not None:
-                            pb = pb.unionByName(pool_rows(batch_token_balances))
-                        cell["pb"] = pb
-                return cell["pb"]
+                return _dex_memo("pb", build)
 
             def _raw_trades():
-                if "raw" not in cell:
+                def build():
                     from ethereum_etl_spark.operators.dex import TRADE_SHAPE_DDL
 
                     if not present_families:
-                        cell["raw"] = self.spark.createDataFrame([], TRADE_SHAPE_DDL)
-                        return cell["raw"]
+                        return self.spark.createDataFrame([], TRADE_SHAPE_DDL)
                     pools_f, tokens_f, _ = _dims()
                     # ONE join tree for every present family (dex_combined:
                     # one pools broadcast + two decimals broadcasts + one
@@ -781,8 +804,9 @@ class ChainStreamer:
                         # re-ANALYZE the tree per reference; the checkpoint
                         # cuts the logical plan to a leaf.
                         trades = trades.localCheckpoint(eager=True)
-                    cell["raw"] = trades
-                return cell["raw"]
+                    return trades
+
+                return _dex_memo("raw", build)
 
             if stables:
                 from ethereum_etl_spark.operators.pricing import stable_price_marks
@@ -792,8 +816,9 @@ class ChainStreamer:
                     shared by the price_marks merge, the head projection AND
                     the trade pricing below (the eager checkpoint cuts the
                     raw-trades plan to a leaf for all three consumers)."""
-                    if "marks" not in cell:
-                        cell["marks"] = (
+                    return _dex_memo(
+                        "marks",
+                        lambda: (
                             stable_price_marks(_raw_trades(), stables)
                             .select(
                                 "token_address", "block_number",
@@ -801,8 +826,8 @@ class ChainStreamer:
                                 "price_stable",
                             )
                             .localCheckpoint(eager=True)
-                        )
-                    return cell["marks"]
+                        ),
+                    )
 
                 add(
                     "price_marks", None,
@@ -1305,6 +1330,7 @@ class ChainStreamer:
             "n_events": n_events,
             "merge_secs": merge_secs,
             "phase_secs": phase_secs,
+            "dex_step_secs": getattr(self, "_dex_secs", {}),
             "etl_delay": etl_delay,
         }
 
