@@ -450,8 +450,12 @@ def extract_dex_trades_combined(
 
     if pool_balances is not None and "uniswap_v3" in fams:
         # v3 reserves: as-of against maintained pool balance history —
-        # branch + union rather than a 12-tree fan-out; both branches read
-        # the single shared subtree above
+        # branch + union rather than a 12-tree fan-out. The split's two
+        # branches would otherwise each EXECUTE the whole shared subtree
+        # (parse + joins + window) — the union has no common-subplan reuse —
+        # so pin it once with a lazy checkpoint (profiled: the in-loop raw
+        # build ran ~2x the pool_balances=None cost before this barrier).
+        trades = trades.localCheckpoint(eager=False)
         v3 = trades.filter(F.col("__fam") == "uniswap_v3")
         rest = trades.filter(F.col("__fam") != "uniswap_v3")
         v3 = _asof_pool_reserves(v3, pool_balances)

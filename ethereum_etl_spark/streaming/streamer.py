@@ -225,6 +225,13 @@ class ChainStreamer:
         return pre
 
     def _batch_stats(self, batch: DataFrame):
+        """One pass over the raw batch: per-entity row counts + block span +
+        reorg presence + the distinct log topic0 set. The topic0 set rides
+        the same scan via a JSON-prefix probe on the raw payload (no full
+        log decode): it gates the entire dex subgraph in _derive, and
+        extracting it here removes the last executor job from the plan
+        phase — the first full log decode then happens inside the merge
+        threads, overlapped with the independent entity merges."""
         return (
             batch.groupBy("entity_type")
             .agg(
@@ -232,6 +239,12 @@ class ChainStreamer:
                 F.max("block_number").alias("hi"),
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.when(F.col("op") == "reorg", 1).otherwise(0)).alias("nr"),
+                F.collect_set(
+                    F.when(
+                        F.col("entity_type") == "log",
+                        F.lower(F.get_json_object("payload", "$.topics[0]")),
+                    )
+                ).alias("t0s"),
             )
             .collect()
         )
@@ -385,7 +398,12 @@ class ChainStreamer:
 
         return get, cache
 
-    def _derive(self, get, aux_cache: list | None = None) -> dict[str, dict]:
+    def _derive(
+        self,
+        get,
+        aux_cache: list | None = None,
+        present_t0s: set | None = None,
+    ) -> dict[str, dict]:
         """Entity name → {df, merge opts} (decode + enrich + stamp).
 
         The demand-driven DAG of eth_streamer_adapter.py:184-260: parents
@@ -508,7 +526,6 @@ class ChainStreamer:
                 full_touch=True,
                 stamped=False,
             )
-        dex_pools_batch = None
         present_families: list = []
         dex_cell: dict = {}  # per-batch memo shared by discovery + trades
         dex_lock = threading.RLock()
@@ -543,22 +560,25 @@ class ChainStreamer:
             from ethereum_etl_spark.operators.dex_combined import FAMILY_ABIS
             from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
 
-            # ONE tiny job: the batch's distinct topic0 set gates the whole
-            # dex subgraph. A batch with no factory events must not pay for
-            # the discovery plan at all (the dex_pools isEmpty merge-skip
-            # used to EXECUTE the full parse+join plan just to find out —
-            # measured 5-80 s/batch), and a family's CASE branches only
-            # enter the combined extractor when one of its event topics
-            # actually occurs in the batch — at the tail most batches touch
-            # a few families, and a non-dex chain pays nothing.
-            present_t0s = {
-                r["t0"]
-                for r in get("log")
-                .select(F.element_at("topics", 1).alias("t0"))
-                .distinct()
-                .collect()
-                if r["t0"]
-            }
+            # The batch's distinct topic0 set gates the whole dex subgraph.
+            # A batch with no factory events must not pay for the discovery
+            # plan at all (the dex_pools isEmpty merge-skip used to EXECUTE
+            # the full parse+join plan just to find out — measured
+            # 5-80 s/batch), and a family's CASE branches only enter the
+            # combined extractor when one of its event topics actually
+            # occurs in the batch — at the tail most batches touch a few
+            # families, and a non-dex chain pays nothing. Normally supplied
+            # by the stats pass (one scan, prefetched in tail mode); the
+            # collect fallback covers direct _derive callers.
+            if present_t0s is None:
+                present_t0s = {
+                    (r["t0"] or "").lower()
+                    for r in get("log")
+                    .select(F.element_at("topics", 1).alias("t0"))
+                    .distinct()
+                    .collect()
+                    if r["t0"]
+                }
             factory_hit = bool({a.topic0 for a in FACTORY_ABIS} & present_t0s)
             present_families = [
                 f for f, abis in FAMILY_ABIS.items()
@@ -586,37 +606,52 @@ class ChainStreamer:
 
                 return _dex_memo("parsed", build)
 
-            if factory_hit:
-                parsed_factory = _parsed()
-                # curve deployment events carry coins but not the pool
-                # address — the pool is the contract the SAME tx CREATEd.
-                # The batch's trace creations resolve it (VERDICT r3 item 1:
-                # without this, curve/DODO extractors starve in a real
-                # stream); metapool underlying coins resolve against the
-                # COMMITTED pool dim.
-                creations = None
-                if trace_frames is not None:
-                    creations = trace_frames.filter(
-                        (F.size("trace_address") == 0)
-                        & (F.col("trace_type") == "create")
-                        & F.col("to_address").isNotNull()
-                        & F.col("error").isNull()
-                    ).select("transaction_hash", F.col("to_address").alias("address"))
-                known = None
-                if "dex_pools" in self.tables:
-                    known = self._dim_snapshot(
-                        "dex_pools", ["address", "token_addresses"]
+            def _discovery():
+                """Discovered-pool rows, built lazily INSIDE the dex_pools
+                merge thread (df_fn) so the parse + probe jobs overlap the
+                independent entity merges instead of serializing in the
+                plan phase (the eager build was a large slice of plan wall
+                in the whole-WAL replay — scaling eff 0.40 on that phase)."""
+
+                def build():
+                    if not factory_hit:
+                        return self.spark.createDataFrame([], DISCOVERED_POOL_DDL)
+                    parsed_factory = _parsed()
+                    # curve deployment events carry coins but not the pool
+                    # address — the pool is the contract the SAME tx
+                    # CREATEd. The batch's trace creations resolve it
+                    # (VERDICT r3 item 1: without this, curve/DODO
+                    # extractors starve in a real stream); metapool
+                    # underlying coins resolve against the COMMITTED dim.
+                    creations = None
+                    if trace_frames is not None:
+                        creations = trace_frames.filter(
+                            (F.size("trace_address") == 0)
+                            & (F.col("trace_type") == "create")
+                            & F.col("to_address").isNotNull()
+                            & F.col("error").isNull()
+                        ).select(
+                            "transaction_hash", F.col("to_address").alias("address")
+                        )
+                    known = None
+                    if "dex_pools" in self.tables:
+                        known = self._dim_snapshot(
+                            "dex_pools", ["address", "token_addresses"]
+                        )
+                    return discover_pools(
+                        parsed_factory,
+                        factory_amm=self.cfg.factory_amm or None,
+                        contracts=creations,
+                        known_pools=known,
                     )
-                dex_pools_batch = discover_pools(
-                    parsed_factory,
-                    factory_amm=self.cfg.factory_amm or None,
-                    contracts=creations,
-                    known_pools=known,
-                )
-            else:
-                dex_pools_batch = self.spark.createDataFrame([], DISCOVERED_POOL_DDL)
+
+                return _dex_memo("discovery", build)
+
         if "dex_pool" in want:
-            add("dex_pools", stamp(dex_pools_batch, "dex_pool"))
+            add(
+                "dex_pools", None,
+                df_fn=lambda: (stamp(_discovery(), "dex_pool"), {}),
+            )
         if "dex_trade" in want:
             # J6 trade assembly inside the CDC loop. Deferred behind the
             # dex_pools merge (DEPS): the pools dim is then simply the
@@ -628,7 +663,6 @@ class ChainStreamer:
                 extract_dex_trades_combined,
             )
 
-            batch_pools = dex_pools_batch
             batch_tokens = get("token") if "token" in want else None
             batch_transfers = token_transfers
             stables = [s.lower() for s in self.cfg.stablecoins]
@@ -652,6 +686,7 @@ class ChainStreamer:
                         pool_cols = pool_cols + ["underlying_token_addresses"]
                     pools_dim = self._dim_snapshot("dex_pools", pool_cols)
                 else:
+                    batch_pools = _discovery()
                     if "underlying_token_addresses" in batch_pools.columns:
                         pool_cols = pool_cols + ["underlying_token_addresses"]
                     pools_dim = batch_pools.select(*pool_cols).dropDuplicates(["address"])
@@ -1105,7 +1140,12 @@ class ChainStreamer:
         __t = time.time()
         get, cache = self._decode_batch(batch)
         aux_cache: list = []
-        derived = self._derive(get, aux_cache)
+        # topic0 set extracted by the (possibly prefetched) stats pass —
+        # _derive then builds pure plans, launching no executor jobs
+        present_t0s = {
+            t for r in srows for t in (r["t0s"] if "t0s" in r.asDict() else []) if t
+        }
+        derived = self._derive(get, aux_cache, present_t0s=present_t0s)
         phase_secs["plan"] = round(time.time() - __t, 3)
         __t = time.time()
 
