@@ -3036,3 +3036,55 @@ def q57(spark, sf):
         "amm",
         "block_number",
     )
+
+
+@_q(
+    "q58_ohlcv_candles_5m",
+    """
+    WITH b AS (
+      SELECT event_type,
+             to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)) AS bs,
+             ts, event_id,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+    ),
+    o AS (SELECT event_type, bs, v,
+                 row_number() OVER (PARTITION BY event_type, bs ORDER BY ts, event_id) rn
+          FROM b),
+    c AS (SELECT event_type, bs, v,
+                 row_number() OVER (PARTITION BY event_type, bs ORDER BY ts DESC, event_id DESC) rn
+          FROM b),
+    a AS (SELECT event_type, bs,
+                 CAST(max(v) AS DOUBLE) AS high, CAST(min(v) AS DOUBLE) AS low,
+                 round(CAST(sum(abs(v)) AS DOUBLE), 4) AS volume,
+                 count(*) AS trades
+          FROM b GROUP BY event_type, bs)
+    SELECT a.event_type, strftime(a.bs, '%Y-%m-%d %H:%M') AS bucket_start,
+           CAST(o.v AS DOUBLE) AS open, a.high, a.low, CAST(c.v AS DOUBLE) AS close,
+           a.volume, a.trades
+    FROM a
+    JOIN o ON o.event_type = a.event_type AND o.bs = a.bs AND o.rn = 1
+    JOIN c ON c.event_type = a.event_type AND c.bs = a.bs AND c.rn = 1
+    """,
+)
+def q58(spark, sf):
+    """A1 at 5-minute resolution (VERDICT r3 item 9): the reference keeps
+    FOUR candle MVs — 1m/5m/1h/1d (schema.sql:147-169 is the 5m one) — and
+    the streamer's default candle_buckets now carries all four; this pins
+    the 5m bucket arithmetic the candles_5m table rides on (q09 pins 1h,
+    q52 pins 1d)."""
+    e = ld(spark, sf, "events").withColumn("v", _dec("value", 18, 6))
+    out = ohlcv(
+        e, key_col="event_type", ts_col="ts", value_col="v",
+        tiebreak_col="event_id", bucket="5 minutes",
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm").alias("bucket_start"),
+        F.col("open").cast("double").alias("open"),
+        F.col("high").cast("double").alias("high"),
+        F.col("low").cast("double").alias("low"),
+        F.col("close").cast("double").alias("close"),
+        F.round(F.col("volume").cast("double"), 4).alias("volume"),
+        "trades",
+    )
