@@ -85,7 +85,9 @@ def main():
         tot["tasks"] += ms(s, "numCompleteTasks")
         tot["deserTime"] += ms(s, "executorDeserializeTime")
         rows.append((ms(s, "executorRunTime"), s["stageId"], s["name"][:70],
-                     ms(s, "numCompleteTasks")))
+                     ms(s, "numCompleteTasks"), ms(s, "inputBytes"),
+                     ms(s, "shuffleReadBytes"),
+                     (s.get("details") or "").split("\n")[0][:120]))
 
     wall_ms = res["replay_sec"] * 1000
     out = {
@@ -107,8 +109,13 @@ def main():
     }
     print("DIAG:" + json.dumps(out))
     rows.sort(reverse=True)
-    for rt, sid, name, nt in rows[:25]:
-        print(f"  stage {sid:5d} run={rt/1000:8.1f}s tasks={nt:4d} {name}")
+    for rt, sid, name, nt, ib, srb, det in rows[:25]:
+        print(f"  stage {sid:5d} run={rt/1000:8.1f}s tasks={nt:4d} in={ib/2**30:7.2f}G sh={srb/2**30:6.2f}G {name}")
+    # the same stages re-ranked by input bytes — bandwidth attribution
+    rows.sort(key=lambda r: r[4], reverse=True)
+    print("  --- top by inputBytes ---")
+    for rt, sid, name, nt, ib, srb, det in rows[:30]:
+        print(f"  stage {sid:5d} in={ib/2**30:7.2f}G run={rt/1000:7.1f}s tasks={nt:4d} {name} | {det}")
 
 
 if __name__ == "__main__":

@@ -137,3 +137,31 @@ def test_repo_file_wal_generic_cdc(spark, tmp_path):
             & (F.col("seq") == reworked["seq"])
         ).first()
         assert got["content"] == want["content"]
+
+
+def test_staged_batch_spill_equivalent(spark, tmp_path):
+    """stage_min_blocks=1 forces the entity-partitioned parquet spill path
+    (the large-batch shape): final state must match the in-heap cache path
+    exactly — including reorg delete+reinsert — and the spill dirs must be
+    gone once the run finishes."""
+    import os
+
+    spec, wal = _wal(spark, tmp_path, reorg_blocks=(7, 8))
+    out = {}
+    for tag, stage_min in (("cached", 10**9), ("staged", 1)):
+        cfg = StreamerConfig(
+            warehouse=str(tmp_path / f"wh_{tag}"), batch_size=70,
+            partition_size=10, stage_min_blocks=stage_min,
+        )
+        s = ChainStreamer(spark, cfg)
+        s.run(WalTailer(wal, batch_size=cfg.batch_size))
+        out[tag] = s
+
+    for name in ("blocks", "transactions", "logs", "token_transfers"):
+        a = out["cached"].tables[name].read()
+        b = out["staged"].tables[name].read()
+        assert a.count() == b.count(), name
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), name
+
+    staging_root = str(tmp_path / "wh_staged" / "_staging")
+    assert not os.path.isdir(staging_root) or os.listdir(staging_root) == []
