@@ -1689,3 +1689,153 @@ def extract_dex_trades_fjord(
         F.lower(pe["caller"]).alias("wallet_address"),
         F.lit("fjord").alias("amm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Meshswap family (service/dex/meshswap/meshswap.py re-expressed)
+# ---------------------------------------------------------------------------
+
+MESHSWAP_ABIS = [
+    # reference meshswap/Pool.json: swap is ExchangePos/ExchangeNeg with the
+    # SOLD token named in the event; liquidity is AddLiquidity/RemoveLiquidity
+    # (meshswap.py:22 MINT_EVENTS + event_resolver :28-34). All params are
+    # non-indexed (single-topic events).
+    EventAbi(
+        name="ExchangePos",
+        inputs=[
+            {"name": "token0", "type": "address", "indexed": False},
+            {"name": "amount0", "type": "uint256", "indexed": False},
+            {"name": "token1", "type": "address", "indexed": False},
+            {"name": "amount1", "type": "uint256", "indexed": False},
+        ],
+        namespace="meshswap",
+        contract_name="pair",
+    ),
+    EventAbi(
+        name="ExchangeNeg",
+        inputs=[
+            {"name": "token0", "type": "address", "indexed": False},
+            {"name": "amount0", "type": "uint256", "indexed": False},
+            {"name": "token1", "type": "address", "indexed": False},
+            {"name": "amount1", "type": "uint256", "indexed": False},
+        ],
+        namespace="meshswap",
+        contract_name="pair",
+    ),
+    EventAbi(
+        name="AddLiquidity",
+        inputs=[
+            {"name": "user", "type": "address", "indexed": False},
+            {"name": "token0", "type": "address", "indexed": False},
+            {"name": "amount0", "type": "uint256", "indexed": False},
+            {"name": "token1", "type": "address", "indexed": False},
+            {"name": "amount1", "type": "uint256", "indexed": False},
+            {"name": "liquidity", "type": "uint256", "indexed": False},
+        ],
+        namespace="meshswap",
+        contract_name="pair",
+    ),
+    EventAbi(
+        name="RemoveLiquidity",
+        inputs=[
+            {"name": "user", "type": "address", "indexed": False},
+            {"name": "token0", "type": "address", "indexed": False},
+            {"name": "amount0", "type": "uint256", "indexed": False},
+            {"name": "token1", "type": "address", "indexed": False},
+            {"name": "amount1", "type": "uint256", "indexed": False},
+            {"name": "liquidity", "type": "uint256", "indexed": False},
+        ],
+        namespace="meshswap",
+        contract_name="pair",
+    ),
+    # NO Sync ABI: meshswap's Sync(uint112,uint112) is byte-identical to
+    # uniswap v2's Sync -> SAME topic0/topic_count (the bento-Burn rule).
+    # Meshswap Syncs decode through the v2 inventory row; the extractors
+    # read them via the uniswap_v2 namespace.
+]
+
+
+def extract_dex_trades_meshswap(
+    parsed_logs: DataFrame, pools: DataFrame, tokens: DataFrame
+) -> DataFrame:
+    """Meshswap pair events → dex_trades (meshswap.py:45-76 + inherited v2
+    mint/burn handlers):
+
+    - ExchangePos/ExchangeNeg carry the SOLD token address: when event
+      token0 == pool token0 the legs are [+amount0/s0, −amount1/s1], else
+      the sold amount lands on the pool's token1 leg —
+      [−amount1/s0, +amount0/s1] (meshswap.py:59-64).
+    - AddLiquidity/RemoveLiquidity resolve through the inherited v2
+      mint/burn handlers, which read amount0/amount1 in POOL token order
+      and ignore the event's own token fields (uniswap_v2.py:166-230).
+    - Reserves/prices: same-tx Sync window (the v2 no-RPC rendering — the
+      reference point-calls getReserves at block−1). Meshswap Syncs share
+      uniswap v2's exact topic0, so the marks arrive under the uniswap_v2
+      namespace (see MESHSWAP_ABIS note).
+    """
+    p = F.broadcast(
+        pools.select(
+            F.col("address").alias("contract_address"),
+            "factory_address",
+            "token_addresses",
+        )
+    )
+    mesh = F.array_contains(F.col("namespace"), "meshswap") & F.col("event_name").isin(
+        "ExchangePos", "ExchangeNeg", "AddLiquidity", "RemoveLiquidity"
+    )
+    v2_sync = F.array_contains(F.col("namespace"), "uniswap_v2") & (
+        F.col("event_name") == "Sync"
+    )
+    ev = parsed_logs.filter(mesh | v2_sync).join(p, on="contract_address", how="inner")
+    ev = (
+        ev.withColumn("__t0", F.element_at("token_addresses", 1))
+        .withColumn("__t1", F.element_at("token_addresses", 2))
+    )
+    ev = _join_pair_decimals(ev, tokens, "__t0", "__t1")
+    pe = F.col("parsed_event")
+    w = (
+        Window.partitionBy("contract_address", "transaction_hash")
+        .orderBy("log_index")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev = (
+        ev.withColumn("__sync_r0", F.when(F.col("event_name") == "Sync", _pe("reserve0")))
+        .withColumn("__sync_r1", F.when(F.col("event_name") == "Sync", _pe("reserve1")))
+        .withColumn("reserve0", F.last("__sync_r0", ignorenulls=True).over(w) / F.col("__s0"))
+        .withColumn("reserve1", F.last("__sync_r1", ignorenulls=True).over(w) / F.col("__s1"))
+    )
+    is_swap = F.col("event_name").isin("ExchangePos", "ExchangeNeg")
+    is_mint = F.col("event_name") == "AddLiquidity"
+    sold_is_t0 = F.lower(pe["token0"]) == F.col("__t0")
+    a0 = (
+        F.when(is_swap, F.when(sold_is_t0, _pe("amount0")).otherwise(-_pe("amount1")))
+        .when(is_mint, _pe("amount0"))
+        .otherwise(-_pe("amount0"))
+    ) / F.col("__s0")
+    a1 = (
+        F.when(is_swap, F.when(sold_is_t0, -_pe("amount1")).otherwise(_pe("amount0")))
+        .when(is_mint, _pe("amount1"))
+        .otherwise(-_pe("amount1"))
+    ) / F.col("__s1")
+    clamp = lambda c: F.when(c >= INFINITE_PRICE_THRESHOLD, F.lit(0.0)).otherwise(c)  # noqa: E731
+    p0 = F.when(F.col("reserve0") > 0, F.col("reserve1") / F.col("reserve0")).otherwise(F.lit(0.0))
+    p1 = F.when(F.col("reserve1") > 0, F.col("reserve0") / F.col("reserve1")).otherwise(F.lit(0.0))
+    return (
+        ev.filter(F.col("event_name") != "Sync")
+        .select(
+            F.array(a0, a1).alias("token_amounts"),
+            F.col("contract_address").alias("pool_address"),
+            "transaction_hash",
+            "log_index",
+            "block_number",
+            F.when(is_swap, "swap").when(is_mint, "mint").otherwise("burn").alias("event_type"),
+            F.array(
+                F.coalesce("reserve0", F.lit(0.0)), F.coalesce("reserve1", F.lit(0.0))
+            ).alias("token_reserves"),
+            F.array(clamp(p0), clamp(p1)).alias("token_prices"),
+            F.slice("token_addresses", 1, 2).alias("token_addresses"),
+            "factory_address",
+            F.lower(pe["user"]).alias("wallet_address"),
+            F.lit("meshswap").alias("amm"),
+        )
+    )

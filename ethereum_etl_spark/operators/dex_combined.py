@@ -48,6 +48,7 @@ from ethereum_etl_spark.operators.dex import (
     DODO_V2_ABIS,
     FJORD_ABIS,
     INFINITE_PRICE_THRESHOLD,
+    MESHSWAP_ABIS,
     ONE_INCH_ABIS,
     SUSHI_BENTO_ABIS,
     TRADERJOE_ABIS,
@@ -65,6 +66,7 @@ from ethereum_etl_spark.operators.dex import (
 # which families a batch pays for)
 FAMILY_ABIS = {
     "uniswap_v2": UNISWAP_V2_ABIS,
+    "meshswap": MESHSWAP_ABIS,
     "uniswap_v3": UNISWAP_V3_ABIS,
     "balancer_v2": BALANCER_V2_ABIS,
     "curve": CURVE_ABIS,
@@ -84,6 +86,7 @@ FAMILY_ABIS = {
 # the equivalence test would catch if an ABI change ever broke it)
 FAMILY_EVENTS: dict[str, tuple[str, ...]] = {
     "uniswap_v2": ("Swap", "Sync", "Mint", "Burn"),
+    "meshswap": ("ExchangePos", "ExchangeNeg", "AddLiquidity", "RemoveLiquidity"),
     "uniswap_v3": ("Swap", "Mint", "Burn", "Collect"),
     "balancer_v2": ("Swap",),
     "curve": ("TokenExchange", "TokenExchangeUnderlying"),
@@ -102,13 +105,14 @@ FAMILY_EVENTS: dict[str, tuple[str, ...]] = {
 _IN_EVENT_FAMILIES = {"balancer_v2", "wombat", "carbondefi"}
 
 
-def _fam_case(families: list[str]):
+def _fam_case(families: list[str], events: dict[str, tuple[str, ...]] | None = None):
     """__fam := first family whose (namespace, event_name) predicate holds."""
+    events = events or FAMILY_EVENTS
     expr = F.lit(None).cast("string")
     for fam in reversed(families):
         expr = F.when(
             F.array_contains(F.col("namespace"), fam)
-            & F.col("event_name").isin(*FAMILY_EVENTS[fam]),
+            & F.col("event_name").isin(*events[fam]),
             F.lit(fam),
         ).otherwise(expr)
     return expr
@@ -135,9 +139,17 @@ def extract_dex_trades_combined(
     pe = F.col("parsed_event")
     fam = F.col("__fam")
 
-    ev = parsed_logs.withColumn("__fam", _fam_case(families)).filter(
-        F.col("__fam").isNotNull()
-    )
+    events_map = {f: FAMILY_EVENTS[f] for f in families}
+    if "meshswap" in fams and "uniswap_v2" not in fams:
+        # meshswap Syncs decode under uniswap v2's inventory row (identical
+        # topic0 — MESHSWAP_ABIS note); when v2 itself isn't requested,
+        # claim those rows through a mark-only pseudo-branch so the reserve
+        # window still sees them (they never reach the output: Sync rows
+        # are dropped after the window).
+        events_map["uniswap_v2"] = ("Sync",)
+    ev = parsed_logs.withColumn(
+        "__fam", _fam_case(list(events_map), events_map)
+    ).filter(F.col("__fam").isNotNull())
 
     # ---- ONE pools attach (LEFT; inner-join semantics restored below) ----
     # Missing dimension columns are projected as NULL on the (tiny) pools
@@ -232,7 +244,7 @@ def extract_dex_trades_combined(
     # The Sync marks are inlined into the window arguments and every derived
     # column lands in ONE withColumns pass (single tree re-analysis).
     win_cols: dict = {}
-    sync_fams = fams & {"uniswap_v2", "sushiswap_bento"}
+    sync_fams = set(events_map) & {"uniswap_v2", "sushiswap_bento"}
     if sync_fams:
         w_excl = (
             Window.partitionBy("contract_address", "transaction_hash")
@@ -290,6 +302,18 @@ def extract_dex_trades_combined(
         .when(en == "Mint", _pe("amount1") / s1)
         .when(en == "Burn", -_pe("amount1") / s1)
     )
+    mesh_sw = en.isin("ExchangePos", "ExchangeNeg")
+    mesh_sold0 = F.lower(pe["token0"]) == F.col("__t0")
+    mesh_a0 = (
+        F.when(mesh_sw, F.when(mesh_sold0, _pe("amount0")).otherwise(-_pe("amount1")))
+        .when(en == "AddLiquidity", _pe("amount0"))
+        .otherwise(-_pe("amount0"))
+    )
+    mesh_a1 = (
+        F.when(mesh_sw, F.when(mesh_sold0, -_pe("amount1")).otherwise(_pe("amount0")))
+        .when(en == "AddLiquidity", _pe("amount1"))
+        .otherwise(-_pe("amount1"))
+    )
     dodo_buy = en == "BuyBaseToken"
     tj_swap = en == "Swap"
     tj_arr = F.from_json(pe["amounts"], "array<string>")
@@ -305,6 +329,7 @@ def extract_dex_trades_combined(
     fj_buy = en == "Buy"
     a0 = chain([
         ("uniswap_v2", v2_a0),
+        ("meshswap", mesh_a0 / s0),
         ("uniswap_v3", _pe("amount0") / s0),
         ("balancer_v2", _pe("amountIn") / s0),
         ("curve", _pe("tokens_sold") / s0),
@@ -323,6 +348,7 @@ def extract_dex_trades_combined(
     ])
     a1 = chain([
         ("uniswap_v2", v2_a1),
+        ("meshswap", mesh_a1 / s1),
         ("uniswap_v3", _pe("amount1") / s1),
         ("balancer_v2", -_pe("amountOut") / s1),
         ("curve", -_pe("tokens_bought") / s1),
@@ -362,6 +388,7 @@ def extract_dex_trades_combined(
     tj_p1 = F.when(tj_swap, rat1).otherwise(F.lit(0.0))
     p0 = chain([
         ("uniswap_v2", clamp(res_p0)),
+        ("meshswap", clamp(res_p0)),
         ("uniswap_v3", v3_p0),
         ("one_inch", clamp(oi_p0)),
         ("sushiswap_bento", clamp(res_p0)),
@@ -369,6 +396,7 @@ def extract_dex_trades_combined(
     ], default=rat0)
     p1 = chain([
         ("uniswap_v2", clamp(res_p1)),
+        ("meshswap", clamp(res_p1)),
         ("uniswap_v3", v3_p1),
         ("one_inch", clamp(oi_p1)),
         ("sushiswap_bento", clamp(res_p1)),
@@ -382,6 +410,7 @@ def extract_dex_trades_combined(
     )
     reserves = chain([
         ("uniswap_v2", sync_res),
+        ("meshswap", sync_res),
         ("sushiswap_bento", sync_res),
         ("one_inch", F.array(oi_r0, oi_r1)),
     ], default=zero2)
@@ -389,12 +418,14 @@ def extract_dex_trades_combined(
     # event_type / wallet / amm / addresses / identity columns
     event_type = chain([
         ("uniswap_v2", F.when(en == "Swap", "swap").when(en == "Mint", "mint").otherwise("burn")),
+        ("meshswap", F.when(mesh_sw, "swap").when(en == "AddLiquidity", "mint").otherwise("burn")),
         ("uniswap_v3", F.when(en == "Swap", "swap").when(en == "Mint", "mint").otherwise("burn")),
         ("traderjoe_v2_1", F.when(tj_swap, "swap").when(en == "DepositedToBins", "mint").otherwise("burn")),
         ("sushiswap_bento", F.when(en == "Swap", "swap").when(en == "Mint", "mint").otherwise("burn")),
     ], default=F.lit("swap"))
     wallet = chain([
         ("uniswap_v2", F.coalesce(pe["to"], pe["sender"])),
+        ("meshswap", F.lower(pe["user"])),
         ("uniswap_v3", F.coalesce(pe["recipient"], pe["owner"], pe["sender"])),
         ("balancer_v2", F.lit(None).cast("string")),
         ("curve", pe["buyer"]),

@@ -121,7 +121,14 @@ def _decode_param(word, ptype: str):
     if ptype == "address":
         return F.concat(F.lit("0x"), F.lower(F.substring(word, 25, 40)))
     if ptype == "bool":
-        return F.when(F.conv(word, 16, 10) == "1", F.lit("true")).otherwise(F.lit("false"))
+        # NO conv here: whole-stage codegen's subexpression elimination can
+        # hoist a per-slot conv() out of its dispatch branch and evaluate it
+        # on rows of OTHER events whose same slot holds an address word —
+        # an ANSI overflow for a branch that was never selected (hit when
+        # meshswap AddLiquidity's token1 shares carbondefi's bool slot)
+        return F.when(
+            F.regexp_replace(word, "^0+", "") == "1", F.lit("true")
+        ).otherwise(F.lit("false"))
     if ptype.startswith("uint"):
         # decimal string; conv is exact through 60 bits, larger values keep
         # the hex form (hex_to_dec38 downstream accepts both)

@@ -25,6 +25,7 @@ from ethereum_etl_spark.operators.dex import (
     DODO_ABIS,
     DODO_V2_ABIS,
     FJORD_ABIS,
+    MESHSWAP_ABIS,
     ONE_INCH_ABIS,
     SUSHI_BENTO_ABIS,
     TOKEN_DIM_DDL,
@@ -40,6 +41,7 @@ from ethereum_etl_spark.operators.dex import (
     extract_dex_trades_dodo,
     extract_dex_trades_dodo_v2,
     extract_dex_trades_fjord,
+    extract_dex_trades_meshswap,
     extract_dex_trades_one_inch,
     extract_dex_trades_traderjoe,
     extract_dex_trades_v3,
@@ -81,6 +83,7 @@ ALL_ABIS = (
     UNISWAP_V2_ABIS + UNISWAP_V3_ABIS + BALANCER_V2_ABIS + CURVE_ABIS
     + DODO_ABIS + DODO_V2_ABIS + TRADERJOE_ABIS + ONE_INCH_ABIS
     + SUSHI_BENTO_ABIS + WOMBAT_ABIS + CARBON_ABIS + FJORD_ABIS
+    + MESHSWAP_ABIS
 )
 
 W = lambda v: f"{v & ((1 << 256) - 1):064x}"  # noqa: E731 — two's complement
@@ -97,6 +100,7 @@ TA, TB, TC, TU = ADDR("a"), ADDR("b"), ADDR("c"), ADDR("d")
 WALLET1, WALLET2 = ADDR("e1"), ADDR("e2")
 P_V2, P_V3, P_CRV, P_DODO, P_DV2 = ADDR("1"), ADDR("2"), ADDR("3"), ADDR("4"), ADDR("5")
 P_TJ, P_OI, P_BEN, P_FJ, P_META = ADDR("6"), ADDR("7"), ADDR("8"), ADDR("9"), ADDR("31")
+P_MESH = ADDR("32")
 VAULT, WOM, CTRL, UNKNOWN = ADDR("bb"), ADDR("cc"), ADDR("dd"), ADDR("ff")
 
 
@@ -200,6 +204,22 @@ def _fixture_logs(spark):
         [TOPIC(int(WALLET1, 16)), TOPIC(int(TA, 16)), TOPIC(int(TB, 16))],
         [W(1_500_000), W(10**18), W(100), W(1)])
 
+    # meshswap tx: Sync (decodes under uniswap v2's topic0 — identical
+    # signature) feeds the exclusive window; ExchangePos sells TB (event
+    # token0 != pool token0 -> sold amount on slot 1), ExchangeNeg sells TA;
+    # AddLiquidity/RemoveLiquidity read amounts in POOL order
+    log(1, "0xms", P_MESH, v2_sync, [], [W(9_000_000), W(4 * 10**18)])
+    log(2, "0xms", P_MESH, MESHSWAP_ABIS[0].topic0, [],
+        [W(int(TB, 16)), W(2 * 10**18), W(int(TA, 16)), W(1_900_000)])
+    log(3, "0xms", P_MESH, MESHSWAP_ABIS[1].topic0, [],
+        [W(int(TA, 16)), W(1_000_000), W(int(TB, 16)), W(5 * 10**17)])
+    log(4, "0xms", P_MESH, MESHSWAP_ABIS[2].topic0, [],
+        [W(int(WALLET1, 16)), W(int(TA, 16)), W(2_000_000), W(int(TB, 16)),
+         W(10**18), W(777)])
+    log(5, "0xms", P_MESH, MESHSWAP_ABIS[3].topic0, [],
+        [W(int(WALLET2, 16)), W(int(TA, 16)), W(500_000), W(int(TB, 16)),
+         W(2 * 10**17), W(333)])
+
     # fjord: Buy + Sell
     log(1, "0xfj", P_FJ, FJORD_ABIS[0].topic0, [TOPIC(int(WALLET1, 16))],
         [W(2_000_000), W(10**18), W(5)])
@@ -225,6 +245,7 @@ def _dims(spark):
             mk(P_OI, [TA, TB]),
             mk(P_BEN, [TA, TB]),
             mk(P_FJ, [TA, TB]),
+            mk(P_MESH, [TA, TB], amm="meshswap"),
         ],
         DISCOVERED_POOL_DDL,
     )
@@ -256,6 +277,7 @@ def _union_of_individual(parsed, pools, tokens, pool_balances=None):
         extract_dex_trades_wombat(parsed, tokens),
         extract_dex_trades_carbon(parsed, tokens),
         extract_dex_trades_fjord(parsed, pools, tokens),
+        extract_dex_trades_meshswap(parsed, pools, tokens),
     ]
     out = parts[0].select(*shape)
     for p in parts[1:]:
@@ -297,8 +319,8 @@ def test_combined_equals_union_all_families(spark, parsed):
     combined = extract_dex_trades_combined(parsed, pools, tokens)
     union = _union_of_individual(parsed, pools, tokens)
     rows = combined.collect()
-    assert len(rows) == 22  # every family present, drops applied
-    assert len({r["amm"] for r in rows}) == 12
+    assert len(rows) == 26  # every family present, drops applied
+    assert len({r["amm"] for r in rows}) == 13
     _assert_equivalent(combined, union, got=rows)
 
 
@@ -327,6 +349,28 @@ def test_combined_family_subset_prunes_output(spark, parsed):
     assert sorted(
         r["amm"] for r in sub.select("amm").distinct().collect()
     ) == ["curve", "wombat"]
+
+
+def test_combined_meshswap_without_v2_keeps_sync_reserves(spark, parsed):
+    # meshswap requested ALONE: its Sync marks decode under the uniswap_v2
+    # inventory row (same topic0), and the combined extractor's mark-only
+    # pseudo-branch must still feed them to the reserve window.
+    pools, tokens = _dims(spark)
+    sub = extract_dex_trades_combined(
+        parsed, pools, tokens, families=["meshswap"]
+    )
+    rows = sorted(sub.collect(), key=lambda r: r["log_index"])
+    assert [r["amm"] for r in rows] == ["meshswap"] * 4
+    assert [r["event_type"] for r in rows] == ["swap", "swap", "mint", "burn"]
+    # legs: ExchangePos sold TB -> [-1.9, +2.0]; ExchangeNeg sold TA ->
+    # [+1.0, -0.5]; liquidity rows in pool order
+    assert rows[0]["token_amounts"] == [-1.9, 2.0]
+    assert rows[1]["token_amounts"] == [1.0, -0.5]
+    assert rows[2]["token_amounts"] == [2.0, 1.0]
+    assert rows[3]["token_amounts"] == [-0.5, -0.2]
+    # reserves came from the v2-namespace Sync: [9.0, 4.0] scaled
+    assert all(r["token_reserves"] == [9.0, 4.0] for r in rows)
+    assert all(r["token_prices"] == [4.0 / 9.0, 9.0 / 4.0] for r in rows)
 
 
 def test_family_events_cover_every_abi_namespace():
