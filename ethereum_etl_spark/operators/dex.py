@@ -527,6 +527,25 @@ FACTORY_ABIS = [
         namespace="uniswap_v2",
         contract_name="factory",
     ),
+    # Solidly-style stable/volatile pair factory (canto_dex BaseV1Factory,
+    # velodrome-family forks): PairCreated carries an extra bool `stable`
+    # before the pair address → its OWN topic0, no collision with v2's.
+    # NOTE the reference's solidly/UniswapV2Factory.json is the PLAIN v2
+    # signature (solidly mainnet) — those factories discover through the v2
+    # row and get their label from `factory_amm`; this ABI is the 5-field
+    # canto_dex/BaseV1Factory.json shape.
+    EventAbi(
+        name="PairCreated",
+        inputs=[
+            {"name": "token0", "type": "address", "indexed": True},
+            {"name": "token1", "type": "address", "indexed": True},
+            {"name": "stable", "type": "bool", "indexed": False},
+            {"name": "pair", "type": "address", "indexed": False},
+            {"name": "idx", "type": "uint256", "indexed": False},
+        ],
+        namespace="solidly",
+        contract_name="factory",
+    ),
     EventAbi(
         name="PoolCreated",
         inputs=[
@@ -671,7 +690,13 @@ def discover_pools(
         return F.lit(default)
 
     no_underlying = F.lit(None).cast("array<string>")
-    v2 = parsed_logs.filter(F.col("event_name") == "PairCreated").select(
+    # two PairCreated shapes share the name but not the topic0: plain v2
+    # (namespace uniswap_v2) and the solidly/canto 5-field stable-pair
+    # variant (namespace solidly) — disambiguate on the inventory namespace
+    # so neither branch double-emits the other's rows
+    is_pair_created = F.col("event_name") == "PairCreated"
+    is_solidly = F.array_contains(F.col("namespace"), "solidly")
+    v2 = parsed_logs.filter(is_pair_created & ~is_solidly).select(
         F.lower(pe["pair"]).alias("address"),
         F.col("contract_address").alias("factory_address"),
         F.array(F.lower(pe["token0"]), F.lower(pe["token1"])).alias("token_addresses"),
@@ -679,6 +704,20 @@ def discover_pools(
         F.array(F.lower(pe["pair"])).alias("lp_token_addresses"),
         no_underlying.alias("underlying_token_addresses"),
         amm_label("uniswap_v2").alias("amm"),
+        F.col("block_number"),
+    )
+    # solidly/canto stable-pair factories: same pool semantics as v2 (the
+    # reference's CantoDexAmm/SolidlyAmm are UniswapV2Amm subclasses, fee
+    # MEDIUM) — only the create event differs; stable-ness doesn't change
+    # the trade decode (Swap/Mint/Burn share v2's topic0s)
+    solidly = parsed_logs.filter(is_pair_created & is_solidly).select(
+        F.lower(pe["pair"]).alias("address"),
+        F.col("contract_address").alias("factory_address"),
+        F.array(F.lower(pe["token0"]), F.lower(pe["token1"])).alias("token_addresses"),
+        F.lit(V2_DEFAULT_FEE).alias("fee"),
+        F.array(F.lower(pe["pair"])).alias("lp_token_addresses"),
+        no_underlying.alias("underlying_token_addresses"),
+        amm_label("solidly").alias("amm"),
         F.col("block_number"),
     )
     v3 = parsed_logs.filter(F.col("event_name") == "PoolCreated").select(
@@ -713,7 +752,12 @@ def discover_pools(
         amm_label("dodo_v2").alias("amm"),
         F.col("block_number"),
     )
-    out = v2.unionByName(v3).unionByName(dodo_v1).unionByName(dodo_v2)
+    out = (
+        v2.unionByName(solidly)
+        .unionByName(v3)
+        .unionByName(dodo_v1)
+        .unionByName(dodo_v2)
+    )
 
     if contracts is not None:
         created = F.broadcast(

@@ -2944,9 +2944,18 @@ def q56(spark, sf):
              '0x' || lpad(lower(to_hex(k + 1)), 40, '0') AS token1,
              CAST(NULL AS VARCHAR) AS underlying,
              0 AS fee, 'dodo_v2' AS amm, k AS block_number
-      FROM s WHERE k % 4 = 3)
+      FROM s WHERE k % 4 = 3),
+    sol AS (
+      SELECT '0x' || lpad(lower(to_hex(k * 7 + 3)), 40, '0') AS address,
+             '0x' || lpad('5fac', 40, '0') AS factory_address,
+             '0x' || lpad(lower(to_hex(k)), 40, '0') AS token0,
+             '0x' || lpad(lower(to_hex(k + 1)), 40, '0') AS token1,
+             CAST(NULL AS VARCHAR) AS underlying,
+             3000 AS fee, 'canto_dex' AS amm, k AS block_number
+      FROM s)
     SELECT * FROM plain UNION ALL SELECT * FROM meta
     UNION ALL SELECT * FROM dodo UNION ALL SELECT * FROM dvm
+    UNION ALL SELECT * FROM sol
     """,
 )
 def q57(spark, sf):
@@ -2966,6 +2975,7 @@ def q57(spark, sf):
     META = next(a for a in FACTORY_ABIS if a.name == "MetaPoolDeployed")
     BIRTH = next(a for a in FACTORY_ABIS if a.name == "DODOBirth")
     NEWDVM = next(a for a in FACTORY_ABIS if a.name == "NewDVM")
+    SOLPC = next(a for a in FACTORY_ABIS if a.namespace == "solidly")
     s = ld(spark, sf, "supplier").select(F.col("s_suppkey").alias("k"))
     k = F.col("k")
 
@@ -3014,18 +3024,37 @@ def q57(spark, sf):
         ).alias("data"),
         F.array(F.lit(NEWDVM.topic0)).alias("topics"),
     )
+    # solidly/canto 5-field PairCreated: indexed token0/token1, data =
+    # [stable, pair, idx]; the factory_amm map relabels the default
+    # 'solidly' to the deployment's dex name (canto_dex) — the reference's
+    # deploys/metadata.json role
+    sol_logs = s.select(
+        *common,
+        fac("5fac").alias("address"),
+        F.concat(F.lit("0x"), aw(k % 2), aw(k * 7 + 3), aw(F.lit(9))).alias("data"),
+        F.array(
+            F.lit(SOLPC.topic0),
+            F.concat(F.lit("0x"), aw(k)),
+            F.concat(F.lit("0x"), aw(k + 1)),
+        ).alias("topics"),
+    )
     logs = (
         plain_logs.unionByName(meta_logs)
         .unionByName(dodo_logs).unionByName(dvm_logs)
+        .unionByName(sol_logs)
     )
     # the same-tx contract creations (the trace stream's creation rows)
     contracts = s.filter("k % 4 <= 1").select(
         F.md5(k.cast("string")).alias("transaction_hash"),
         F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(k * 3 + 1)), 40, "0")).alias("address"),
     )
-    abis = [PLAIN, META, BIRTH, NEWDVM]
+    abis = [PLAIN, META, BIRTH, NEWDVM, SOLPC]
     parsed = parse_logs(logs, build_inventory(spark, abis), abis)
-    pools = discover_pools(parsed, contracts=contracts)
+    pools = discover_pools(
+        parsed,
+        factory_amm={"0x" + "5fac".rjust(40, "0"): "canto_dex"},
+        contracts=contracts,
+    )
     return pools.select(
         "address",
         "factory_address",
@@ -3087,4 +3116,137 @@ def q58(spark, sf):
         F.col("close").cast("double").alias("close"),
         F.round(F.col("volume").cast("double"), 4).alias("volume"),
         "trades",
+    )
+
+
+@_q(
+    "q59_meshswap_trades",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             '0x' || lpad(lower(to_hex(o_orderkey % 50)), 40, '0') AS pool_address,
+             md5(CAST(o_orderkey AS VARCHAR)) AS tx,
+             CAST(o_custkey AS DOUBLE) AS cust,
+             CAST(floor(o_totalprice) AS BIGINT)::DOUBLE AS price,
+             CAST(1000 + o_orderkey % 97 AS DOUBLE) AS r0,
+             -- the 18-dec-leg raw words are scaled by 1e12 on the Spark
+             -- side so the scaled values stay non-trivial at 6-digit
+             -- rounding: raw*1e12/1e18 = raw/1e6
+             CAST(5000 + o_orderkey % 89 AS DOUBLE) AS r1
+      FROM orders WHERE o_orderkey <= 4096),
+    -- ExchangePos (k even) sells pool token0: legs [+cust, -price];
+    -- ExchangeNeg (k odd) sells pool token1: legs [-price, +cust]
+    swaps AS (
+      SELECT pool_address, tx, k, 'swap' AS event_type,
+             CASE WHEN k % 2 = 0 THEN cust ELSE -price END AS a0,
+             CASE WHEN k % 2 = 0 THEN -price ELSE cust END AS a1,
+             r0, r1, CAST(NULL AS VARCHAR) AS wallet
+      FROM base),
+    liq AS (
+      SELECT pool_address, tx, k,
+             CASE WHEN k % 7 = 0 THEN 'mint' ELSE 'burn' END AS event_type,
+             CASE WHEN k % 7 = 0 THEN cust ELSE -cust END AS a0,
+             CASE WHEN k % 7 = 0 THEN price ELSE -price END AS a1,
+             r0, r1, '0x' || repeat('ab', 20) AS wallet
+      FROM base WHERE k % 7 IN (0, 3))
+    SELECT pool_address, tx AS transaction_hash, k AS block_number,
+           event_type,
+           round(a0 / 1000000.0, 6) + 0.0 AS amount0,
+           round(a1 / 1000000.0, 6) + 0.0 AS amount1,
+           round(r0 / 1000000.0, 6) AS reserve0,
+           round(r1 / 1000000.0, 6) AS reserve1,
+           round((r1 / 1000000.0) / (r0 / 1000000.0), 6) AS price0,
+           wallet
+    FROM (SELECT * FROM swaps UNION ALL SELECT * FROM liq)
+    """,
+)
+def q59(spark, sf):
+    """Meshswap trade assembly (reference meshswap/meshswap.py): the
+    Exchange events name the SOLD token, so the extractor maps amounts onto
+    pool token order by address comparison; AddLiquidity/RemoveLiquidity
+    amounts are read in pool order through the inherited v2 handlers.
+    Reserve marks ride meshswap's Sync, which is byte-identical to uniswap
+    v2's (same topic0) and therefore decodes under the v2 inventory row."""
+    from ethereum_etl_spark.operators.dex import (
+        MESHSWAP_ABIS,
+        POOL_DDL,
+        TOKEN_DIM_DDL,
+        UNISWAP_V2_ABIS,
+        extract_dex_trades_meshswap,
+    )
+    from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
+
+    SYNC = UNISWAP_V2_ABIS[1]
+    POS, NEG, ADD, REM = MESHSWAP_ABIS[:4]
+    tok_a, tok_b = "0x" + "2" * 40, "0x" + "3" * 40
+    wa, wb = F.lpad(F.lit("2" * 40), 64, "0"), F.lpad(F.lit("3" * 40), 64, "0")
+    wallet_w = F.lpad(F.lit("ab" * 20), 64, "0")
+    o = ld(spark, sf, "orders").filter("o_orderkey <= 4096")
+    k = F.col("o_orderkey")
+
+    def w64(c):
+        return F.lpad(F.lower(F.hex(c.cast("long"))), 64, "0")
+
+    common = [
+        F.md5(k.cast("string")).alias("transaction_hash"),
+        F.lit(0).alias("transaction_index"),
+        F.lit("0xb").alias("block_hash"),
+        k.alias("block_number"),
+        F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(k % 50)), 40, "0")).alias("address"),
+    ]
+    cust, price = F.col("o_custkey"), F.floor("o_totalprice")
+    E12 = F.lit(10**12)  # 18-dec-leg raw words carry *1e12 (oracle note)
+    sync_logs = o.select(
+        F.lit(0).alias("log_index"), *common,
+        F.concat(
+            F.lit("0x"), w64(F.lit(1000) + k % 97), w64((F.lit(5000) + k % 89) * E12)
+        ).alias("data"),
+        F.array(F.lit(SYNC.topic0)).alias("topics"),
+    )
+    # Pos sells event-token0 (= pool t0, 6-dec); Neg's event token0 is the
+    # pool's 18-dec t1 — the *1e12 rides whichever slot holds the 18-dec leg
+    swap_logs = o.select(
+        F.lit(1).alias("log_index"), *common,
+        F.concat(
+            F.lit("0x"),
+            F.when(k % 2 == 0, wa).otherwise(wb),
+            F.when(k % 2 == 0, w64(cust)).otherwise(w64(cust * E12)),
+            F.when(k % 2 == 0, wb).otherwise(wa),
+            F.when(k % 2 == 0, w64(price * E12)).otherwise(w64(price)),
+        ).alias("data"),
+        F.array(
+            F.when(k % 2 == 0, F.lit(POS.topic0)).otherwise(F.lit(NEG.topic0))
+        ).alias("topics"),
+    )
+    liq_logs = o.filter((k % 7 == 0) | (k % 7 == 3)).select(
+        F.lit(2).alias("log_index"), *common,
+        F.concat(
+            F.lit("0x"), wallet_w, wa, w64(cust), wb, w64(price * E12), w64(F.lit(1))
+        ).alias("data"),
+        F.array(
+            F.when(k % 7 == 0, F.lit(ADD.topic0)).otherwise(F.lit(REM.topic0))
+        ).alias("topics"),
+    )
+    logs = sync_logs.unionByName(swap_logs).unionByName(liq_logs)
+    abis = MESHSWAP_ABIS + [SYNC]
+    parsed = parse_logs(logs, build_inventory(spark, abis), abis)
+    pools = spark.createDataFrame(
+        [(f"0x{i:040x}", "0xfac", [tok_a, tok_b], 3000, []) for i in range(50)],
+        POOL_DDL,
+    )
+    tokens = spark.createDataFrame(
+        [(tok_a, "AAA", 6), (tok_b, "BBB", 18)], TOKEN_DIM_DDL
+    )
+    t = extract_dex_trades_meshswap(parsed, pools, tokens)
+    return t.select(
+        "pool_address",
+        "transaction_hash",
+        "block_number",
+        "event_type",
+        (F.round(F.element_at("token_amounts", 1), 6) + F.lit(0.0)).alias("amount0"),
+        (F.round(F.element_at("token_amounts", 2), 6) + F.lit(0.0)).alias("amount1"),
+        F.round(F.element_at("token_reserves", 1), 6).alias("reserve0"),
+        F.round(F.element_at("token_reserves", 2), 6).alias("reserve1"),
+        F.round(F.element_at("token_prices", 1), 6).alias("price0"),
+        F.col("wallet_address").alias("wallet"),
     )
