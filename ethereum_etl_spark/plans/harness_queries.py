@@ -3250,3 +3250,139 @@ def q59(spark, sf):
         F.round(F.element_at("token_prices", 1), 6).alias("price0"),
         F.col("wallet_address").alias("wallet"),
     )
+
+
+@_q(
+    "q60_liquidity_event_enrichment",
+    """
+    -- the fixture's LP-transfer chains are deterministic by construction
+    -- (one chain per wallet, depth <= 2), so the oracle computes the
+    -- reference's merged/pro-rated output closed-form per order key
+    WITH s AS (
+      SELECT o_orderkey AS k FROM orders
+      WHERE o_orderkey <= 2048 AND o_orderkey % 31 != 7),
+    base AS (
+      SELECT k, md5(CAST(k AS VARCHAR)) AS tx,
+             '0x' || lpad(lower(to_hex(k % 10)), 40, '0') AS pool,
+             CASE WHEN k % 2 = 0 THEN 'mint' ELSE 'burn' END AS event_type,
+             CAST(k % 97 + 1 AS DOUBLE) AS a0,
+             CAST(k % 89 + 1 AS DOUBLE) AS a1,
+             CAST(k % 7 + 1 AS DOUBLE) * 1e18 AS v,
+             CAST(k % 5 + 1 AS DOUBLE) * 1e18 AS v2,
+             '0xc1' || lpad(lower(to_hex(k * 3 + 7)), 38, '0') AS w1,
+             '0xc2' || lpad(lower(to_hex(k * 3 + 11)), 38, '0') AS w2,
+             CAST((k % 10 + 1) * 1000 AS DOUBLE) AS supply
+      FROM s),
+    legs AS (
+      -- one output row per resolved LP transfer: the k%20=0 txs carry a
+      -- second mint event AND a second LP mint, activating pro-rating
+      SELECT *, (3 * a0) / (v + v2) * v AS p0, (3 * a1) / (v + v2) * v AS p1,
+             v / 1e18 AS lp_amt, w1 AS wallet FROM base WHERE k % 20 = 0
+      UNION ALL
+      SELECT *, (3 * a0) / (v + v2) * v2 AS p0, (3 * a1) / (v + v2) * v2 AS p1,
+             v2 / 1e18 AS lp_amt, w2 AS wallet FROM base WHERE k % 20 = 0
+      UNION ALL
+      SELECT *, a0 AS p0, a1 AS p1, v / 1e18 AS lp_amt, w1 AS wallet
+      FROM base WHERE k % 20 != 0)
+    SELECT tx AS transaction_hash, 5 AS log_index, pool AS pool_address,
+           event_type, wallet AS wallet_address,
+           round(p0, 6) AS amount0, round(p1, 6) AS amount1,
+           round(lp_amt, 6) AS amount_lp,
+           round(p0 * 1.0 + p1 * 2.0, 6) AS amount_stable,
+           round(500.0 / supply, 6) AS price_lp,
+           round(supply, 6) AS reserve_lp
+    FROM legs
+    """,
+)
+def q60(spark, sf):
+    """Liquidity-event enrichment (reference enrich_dex_trades_job.py:141-263):
+    mint/burn trades are merged per (tx, lp_token), re-emitted once per
+    resolved LP-transfer chain with the terminal wallet, pro-rated when
+    several events share the lp token, and the LP token appended as an
+    extra leg priced from reserves_stable / total_supply."""
+    from ethereum_etl_spark.operators.liquidity import enrich_liquidity_events
+
+    NULL = "0x" + "0" * 40
+    ROUTER = "0x" + "dd" * 20
+    T0, T1 = "0x" + "2" * 40, "0x" + "3" * 40
+    o = ld(spark, sf, "orders").filter("o_orderkey <= 2048 AND o_orderkey % 31 != 7")
+    k = F.col("o_orderkey")
+
+    def pad40(c):
+        return F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(c.cast("long"))), 40, "0"))
+
+    tx = F.md5(k.cast("string"))
+    pool = pad40(k % 10)
+    def wpad(prefix, c):
+        return F.concat(
+            F.lit(prefix), F.lpad(F.lower(F.hex(c.cast("long"))), 38, "0")
+        )
+
+    w1, w2 = wpad("0xc1", k * 3 + 7), wpad("0xc2", k * 3 + 11)
+    a0 = (k % 97 + 1).cast("double")
+    a1 = (k % 89 + 1).cast("double")
+    v = (k % 7 + 1).cast("double") * F.lit(1e18)
+    v2 = (k % 5 + 1).cast("double") * F.lit(1e18)
+    is_mint = k % 2 == 0
+    etype = F.when(is_mint, "mint").otherwise("burn")
+
+    def trade(li, s0, s1):
+        return [
+            k.alias("block_number"), tx.alias("transaction_hash"),
+            F.lit(li).alias("log_index"), pool.alias("pool_address"),
+            etype.alias("event_type"),
+            F.array(s0, s1).alias("token_amounts"),
+            F.array(F.lit(100.0), F.lit(200.0)).alias("token_reserves"),
+            F.array(F.lit(1.0), F.lit(2.0)).alias("prices_stable"),
+            F.array(F.lit(T0), F.lit(T1)).alias("token_addresses"),
+            F.lit("0xfac").alias("factory_address"),
+            F.lit("uniswap_v2").alias("amm"),
+        ]
+
+    trades = o.select(*trade(5, a0, a1)).unionByName(
+        o.filter(k % 20 == 0).select(*trade(6, a0 * 2, a1 * 2))
+    )
+
+    def xfer(li, frm, to, val):
+        return [
+            tx.alias("transaction_hash"), F.lit(li).alias("log_index"),
+            k.alias("block_number"), pool.alias("token_address"),
+            frm.alias("from_address"), to.alias("to_address"),
+            val.alias("value"),
+        ]
+
+    n = F.lit(NULL)
+    r = F.lit(ROUTER)
+    transfers = (
+        # k%4==0: mint, LP minted straight to the wallet
+        o.filter(k % 4 == 0).select(*xfer(10, n, w1, v))
+        # k%4==2: mint routed NULL -> router -> wallet (2-hop chain)
+        .unionByName(o.filter(k % 4 == 2).select(*xfer(10, n, r, v)))
+        .unionByName(o.filter(k % 4 == 2).select(*xfer(11, r, w1, v)))
+        # k%4==1: burn, LP sent straight to NULL
+        .unionByName(o.filter(k % 4 == 1).select(*xfer(10, w1, n, v)))
+        # k%4==3: burn routed wallet -> router -> NULL (upstream walk)
+        .unionByName(o.filter(k % 4 == 3).select(*xfer(10, w1, r, v)))
+        .unionByName(o.filter(k % 4 == 3).select(*xfer(11, r, n, v)))
+        # k%20==0: a second LP mint to a second wallet (pro-rating)
+        .unionByName(o.filter(k % 20 == 0).select(*xfer(12, n, w2, v2)))
+    )
+    pools = o.select(
+        pool.alias("address"), F.array(pool).alias("lp_token_addresses")
+    ).distinct()
+    tokens = o.select(
+        pool.alias("address"), F.lit(18).alias("decimals"),
+        ((k % 10 + 1).cast("double") * F.lit(1e21)).alias("total_supply"),
+    ).distinct()
+
+    out = enrich_liquidity_events(trades, transfers, pools, tokens)
+    return out.select(
+        "transaction_hash", "log_index", "pool_address", "event_type",
+        "wallet_address",
+        F.round(F.element_at("token_amounts", 1), 6).alias("amount0"),
+        F.round(F.element_at("token_amounts", 2), 6).alias("amount1"),
+        F.round(F.element_at("token_amounts", 3), 6).alias("amount_lp"),
+        F.round("amount_stable", 6).alias("amount_stable"),
+        F.round(F.element_at("prices_stable", 3), 6).alias("price_lp"),
+        F.round(F.element_at("token_reserves", 3), 6).alias("reserve_lp"),
+    )
