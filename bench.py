@@ -115,11 +115,13 @@ def run_replay(
         from ethereum_etl_spark.streaming import DEFAULT_ENTITIES
 
         shutil.rmtree(wh, ignore_errors=True)
-        # full production plan: 17 base tables + pool discovery + 12-family
-        # trade assembly + in-loop as-of pricing + owner detection
+        # full production plan: 17 base tables + pool discovery + multi-
+        # family trade assembly + in-loop as-of pricing + owner detection +
+        # LP-chain liquidity-event enrichment
         cfg = StreamerConfig(
             warehouse=wh, batch_size=batch, partition_size=psize,
-            entity_types=DEFAULT_ENTITIES + ("dex_pool", "dex_trade"),
+            entity_types=DEFAULT_ENTITIES
+            + ("dex_pool", "dex_trade", "liquidity_event"),
             stablecoins=(DEX_STABLE,),
         )
         s = ChainStreamer(spark, cfg)

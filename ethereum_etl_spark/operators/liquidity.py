@@ -226,19 +226,26 @@ def enrich_liquidity_events(
     bounded by the reference's own 500-transfer cap.
     """
     liq = trades.filter(F.col("event_type").isin("mint", "burn"))
-    pool_lp = F.broadcast(
-        pools.select(
-            F.lower(F.col("address")).alias("pool_address"),
-            F.lower(F.element_at("lp_token_addresses", 1)).alias("lp_token_address"),
-        )
+    # key-filter both dims to this call's pools BEFORE broadcasting — the
+    # probe set is batch-bounded, the dims grow with chain history
+    pool_lp = pools.select(
+        F.lower(F.col("address")).alias("pool_address"),
+        F.lower(F.element_at("lp_token_addresses", 1)).alias("lp_token_address"),
+    ).join(
+        liq.select(F.lower("pool_address").alias("pool_address")).distinct(),
+        on="pool_address",
+        how="left_semi",
     )
-    tok = F.broadcast(
-        tokens.select(
-            F.lower(F.col("address")).alias("lp_token_address"),
-            F.col("decimals").alias("__lp_decimals"),
-            F.col("total_supply").cast("double").alias("__lp_total_supply"),
-        )
+    tok = tokens.select(
+        F.lower(F.col("address")).alias("lp_token_address"),
+        F.col("decimals").alias("__lp_decimals"),
+        F.col("total_supply").cast("double").alias("__lp_total_supply"),
+    ).join(
+        pool_lp.select("lp_token_address").distinct(),
+        on="lp_token_address",
+        how="left_semi",
     )
+    pool_lp, tok = F.broadcast(pool_lp), F.broadcast(tok)
     liq = (
         liq.withColumn("pool_address", F.lower("pool_address"))
         .join(pool_lp, on="pool_address", how="left")

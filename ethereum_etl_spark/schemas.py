@@ -232,6 +232,27 @@ DEX_TRADE_SCHEMA = StructType([
     _f("owner_type", StringType()),
 ])
 
+# enriched liquidity events (enrich_dex_trades_job.py:141-263): mint/burn
+# trades merged per (tx, lp_token) and re-emitted once per resolved
+# LP-transfer chain, with the LP token appended as an extra leg
+LIQUIDITY_EVENT_SCHEMA = StructType([
+    _f("block_number", LongType(), False),
+    _f("transaction_hash", StringType(), False),
+    _f("log_index", IntegerType(), False),
+    _f("pool_address", StringType()),
+    _f("lp_token_address", StringType()),
+    _f("event_type", StringType()),
+    _f("wallet_address", StringType()),
+    _f("token_addresses", ArrayType(StringType())),
+    _f("token_amounts", ArrayType(DoubleType())),
+    _f("prices_stable", ArrayType(DoubleType())),
+    _f("token_reserves", ArrayType(DoubleType())),
+    _f("reserves_stable", ArrayType(DoubleType())),
+    _f("amount_stable", DoubleType()),
+    _f("factory_address", StringType()),
+    _f("amm", StringType()),
+])
+
 # as-of stable-price observations (PriceService state, made a table)
 PRICE_MARK_SCHEMA = StructType([
     _f("token_address", StringType(), False),
@@ -261,6 +282,7 @@ ENTITY_SCHEMAS: dict[str, StructType] = {
     "native_balance": NATIVE_BALANCE_SCHEMA,
     "dex_pool": DEX_POOL_SCHEMA,
     "dex_trade": DEX_TRADE_SCHEMA,
+    "liquidity_event": LIQUIDITY_EVENT_SCHEMA,
     "error": ERROR_SCHEMA,
 }
 
@@ -282,6 +304,11 @@ ENTITY_KEYS: dict[str, list[str]] = {
     "native_balance": ["block_number", "address"],
     "dex_pool": ["address"],
     "dex_trade": ["block_number", "transaction_hash", "log_index"],
+    # per-transfer fan-out: one event row per (lp token, terminal wallet)
+    "liquidity_event": [
+        "block_number", "transaction_hash", "log_index",
+        "lp_token_address", "wallet_address",
+    ],
     "error": ["timestamp", "kind"],
 }
 
@@ -302,6 +329,9 @@ ITEM_ID_FIELDS: dict[str, list[str]] = {
     "native_balance": ["block_number", "address"],
     "dex_pool": ["address"],
     "dex_trade": ["transaction_hash", "log_index"],
+    "liquidity_event": [
+        "transaction_hash", "log_index", "lp_token_address", "wallet_address",
+    ],
     "error": ["timestamp", "kind"],
 }
 
@@ -322,6 +352,7 @@ SORT_BY_FIELDS: dict[str, list[str]] = {
     "native_balance": ["block_number", "address"],
     "dex_pool": ["block_number", "address"],
     "dex_trade": ["block_number", "log_index"],
+    "liquidity_event": ["block_number", "log_index", "wallet_address"],
     "error": ["timestamp"],
 }
 

@@ -494,12 +494,30 @@ def _dex_family_log_df(spec: "ChainWalSpec", tx0: DataFrame, shift: int = 0):
         [w64((n % 20 + 1) * 1_000_000), w64(n % 10 + 1)],
         [F.lit(V2MINT.topic0), t1(wallet(n % 19))],
     ))
+    # the mint's LP tokens (LP token == the v2 pool) minted from NULL to the
+    # provider — every other block routed through an intermediary hop, so
+    # the liquidity-event enrichment's chain walk is exercised both ways
+    null_t = t1(F.lit("0x" + "0" * 40))
+    lp_direct = active.filter(n % 2 == 0).select(*row(
+        113, _addr("dexpool", (n - 1) % spec.dex_pools),
+        [w64((n % 9 + 1) * 10**6)],
+        [F.lit(TRANSFER_TOPIC), null_t, t1(wallet(n % 19))],
+    ))
+    lp_routed = active.filter(n % 2 == 1).select(*row(
+        113, _addr("dexpool", (n - 1) % spec.dex_pools),
+        [w64((n % 9 + 1) * 10**6)],
+        [F.lit(TRANSFER_TOPIC), null_t, t1(wallet(F.lit(20)))],
+    )).unionByName(active.filter(n % 2 == 1).select(*row(
+        114, _addr("dexpool", (n - 1) % spec.dex_pools),
+        [w64((n % 9 + 1) * 10**6)],
+        [F.lit(TRANSFER_TOPIC), t1(wallet(F.lit(20))), t1(wallet(n % 19))],
+    )))
     return (
         curve_deploy.unionByName(curve_swap)
         .unionByName(dodo_birth).unionByName(dodo_v1_swap)
         .unionByName(dvm_new).unionByName(dodo_v2_swap)
         .unionByName(v3_deploy).unionByName(pool_fund).unionByName(v3_swap)
-        .unionByName(v2_mint)
+        .unionByName(v2_mint).unionByName(lp_direct).unionByName(lp_routed)
     )
 
 

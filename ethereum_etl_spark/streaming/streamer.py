@@ -63,7 +63,7 @@ _SOURCE_ENTITY = {
     "token_balances": "log", "token_balances_latest": "log",
     "native_balances": "transaction", "native_balances_latest": "transaction",
     "dex_pools": "log", "price_marks": "log", "price_marks_latest": "log",
-    "dex_trades": "log",
+    "dex_trades": "log", "liquidity_events": "log",
     "logs_by_address": "log", "transactions_by_address": "transaction",
     "candles_1m": "log", "candles_5m": "log", "candles_1h": "log",
     "candles_1d": "log",
@@ -81,7 +81,7 @@ _BALANCE_KEY_COLS = {
 # append-path merges may skip the in-batch dedup window
 _UNIQUE_BATCH_KEY_ENTITIES = frozenset({
     "blocks", "transactions", "receipts", "logs", "geth_traces",
-    "token_balances", "native_balances", "dex_trades",
+    "token_balances", "native_balances", "dex_trades", "liquidity_events",
     "candles_1m", "candles_5m", "candles_1h", "candles_1d",
     "price_marks",
 })
@@ -418,6 +418,9 @@ class ChainStreamer:
             tbl("dex_pools", ENTITY_SCHEMAS["dex_pool"], ENTITY_KEYS["dex_pool"])
         if "dex_trade" in want:
             tbl("dex_trades", ENTITY_SCHEMAS["dex_trade"], ENTITY_KEYS["dex_trade"])
+            if "liquidity_event" in want:
+                tbl("liquidity_events", ENTITY_SCHEMAS["liquidity_event"],
+                    ENTITY_KEYS["liquidity_event"])
             if self.cfg.stablecoins:
                 from ethereum_etl_spark.schemas import PRICE_MARK_SCHEMA
 
@@ -973,7 +976,7 @@ class ChainStreamer:
 
                 add("price_marks_latest", None, df_fn=_marks_latest)
 
-            def _trades():
+            def _build_enriched_trades():
                 # J7 in the loop (enrich_dex_trades_job.py:38-108): persist
                 # the enriched+priced+owned shape, not the raw assembly.
                 # Pricing input = this batch's marks ∪ the pre-batch latest
@@ -987,7 +990,7 @@ class ChainStreamer:
                 # the dominant tail cost of the dex-inclusive bench).
                 raw = _raw_trades()
                 if not stables:
-                    return stamp(raw, "dex_trade"), {}
+                    return raw
                 from ethereum_etl_spark.operators.pricing import enrich_trades_usd
                 from ethereum_etl_spark.operators.swap_owner import detect_swap_owners
 
@@ -1017,9 +1020,48 @@ class ChainStreamer:
                     out = priced.withColumn(
                         "owner", F.lower(F.col("pool_address"))
                     ).withColumn("owner_type", F.lit("pool"))
-                return stamp(out, "dex_trade"), {}
+                return out
+
+            def _enriched_trades():
+                # shared by the dex_trades merge AND the liquidity_events
+                # merge (concurrent threads) — memoized like the other
+                # multi-consumer dex frames
+                return _dex_memo("enriched_trades", _build_enriched_trades)
+
+            def _trades():
+                return stamp(_enriched_trades(), "dex_trade"), {}
 
             add("dex_trades", None, df_fn=_trades)
+            if "liquidity_event" in want and batch_transfers is not None:
+
+                def _liquidity():
+                    # enrich_dex_trades_job.py:141-263 in the loop: one row
+                    # per (lp token, resolved LP-transfer terminal wallet).
+                    # The operator semi-join-filters both dims to the batch's
+                    # pools before broadcasting (same tail-scaling discipline
+                    # as the trade-assembly dims). Transfer set =
+                    # this batch's token_transfers (the reference also counts
+                    # native pseudo-transfers toward its 500-cap when those
+                    # streams are enabled; LP chains themselves are always
+                    # ERC-20, so only the cap/first-transfer tiebreak can
+                    # differ on native-heavy transactions).
+                    from ethereum_etl_spark.operators.liquidity import (
+                        enrich_liquidity_events,
+                    )
+
+                    trades_f = _enriched_trades()
+                    pools_dim = self._dim_snapshot(
+                        "dex_pools", ["address", "lp_token_addresses"]
+                    )
+                    toks = self._dim_snapshot(
+                        "tokens", ["address", "decimals", "total_supply"]
+                    )
+                    out = enrich_liquidity_events(
+                        trades_f, batch_transfers, pools_dim, toks
+                    )
+                    return stamp(out, "liquidity_event"), {}
+
+                add("liquidity_events", None, df_fn=_liquidity)
         if "candle" in want and token_transfers is not None:
             # deferred: recompute OHLCV for the buckets this batch touches,
             # FROM the committed token_transfers table (phase 2 — after its
@@ -1345,11 +1387,14 @@ class ChainStreamer:
             # then reads the same pre-batch head the first attempt saw, and
             # the already-committed downstream merges no-op on batch_id.
             # (Deps naming tables absent from this batch are skipped.)
-            "token_balances_latest": ["token_balances", "price_marks", "dex_trades"],
+            "token_balances_latest": [
+                "token_balances", "price_marks", "dex_trades", "liquidity_events",
+            ],
             "native_balances_latest": ["native_balances"],
             "price_marks": ["dex_pools", "tokens"],
             "dex_trades": ["dex_pools", "tokens"],
-            "price_marks_latest": ["price_marks", "dex_trades"],
+            "price_marks_latest": ["price_marks", "dex_trades", "liquidity_events"],
+            "liquidity_events": ["dex_pools", "tokens"],
         }
         if self.cfg.parallel_merges and len(derived) > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -1864,12 +1909,61 @@ class ChainStreamer:
             [s.lower() for s in self.cfg.stablecoins],
             marks=marks_t.read(),
         ).select(*[f.name for f in t.manifest().schema.fields])
+        fix_liquidity = (
+            "liquidity_events" in self.tables and "token_transfers" in self.tables
+        )
+        if fix_liquidity:
+            # materialize BEFORE the reprice merge GCs the snapshot this
+            # plan reads (affected -> cand -> pre-merge table version)
+            liq_txs = (
+                affected.filter(F.col("event_type").isin("mint", "burn"))
+                .select("transaction_hash")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
         t.merge_upsert(
             re_enr,
             batch_id=f"{batch_id}/reprice",
             touched_range=(min_rb, hi_bn),
         )
         self.lineage.record(batch_id=batch_id, repriced_from_block=min_rb)
+
+        if fix_liquidity:
+            # liquidity_events carry the mint/burn trades' prices into their
+            # per-wallet fan-out rows — re-derive the affected transactions
+            # from the just-repaired trades. Keys (tx, log_index, lp, wallet)
+            # are price-independent, so a plain upsert replaces every stale
+            # row; reorged-block rows were already re-derived by the fork
+            # batch itself.
+            from ethereum_etl_spark.operators.liquidity import (
+                enrich_liquidity_events,
+            )
+
+            if not liq_txs.isEmpty():
+                trades_in = (
+                    t.read(prune_min=min_rb, prune_max=hi_bn)
+                    .filter(F.col("event_type").isin("mint", "burn"))
+                    .join(liq_txs, on="transaction_hash", how="left_semi")
+                )
+                transfers_in = (
+                    self.tables["token_transfers"]
+                    .read(prune_min=min_rb, prune_max=hi_bn)
+                    .join(liq_txs, on="transaction_hash", how="left_semi")
+                )
+                pools_dim = self._dim_snapshot(
+                    "dex_pools", ["address", "lp_token_addresses"]
+                )
+                toks_dim = self._dim_snapshot(
+                    "tokens", ["address", "decimals", "total_supply"]
+                )
+                fixed = enrich_liquidity_events(
+                    trades_in, transfers_in, pools_dim, toks_dim
+                )
+                self.tables["liquidity_events"].merge_upsert(
+                    stamp(fixed, "liquidity_event"),
+                    batch_id=f"{batch_id}/reprice-liquidity",
+                    touched_range=(min_rb, hi_bn),
+                )
 
     # ---------- dead-letter channel ----------
 

@@ -68,19 +68,24 @@ def test_enriched_dex_trades_in_streamer(spark):
         n_pools = 5
         spec = ChainWalSpec(
             start_block=0, end_block=59, dex_pools=n_pools,
-            reorg_blocks=(10,), reorg_lag=20,
+            reorg_blocks=(10,), reorg_lag=20, dex_families=True,
         )
         wal = generate_chain_wal(spark, spec).cache()
         cfg = StreamerConfig(
             warehouse=wh, batch_size=300, partition_size=16,
-            entity_types=ENTITIES + ("token_transfer",),
+            entity_types=ENTITIES + ("token_transfer", "liquidity_event"),
             stablecoins=(DEX_STABLE,),
         )
         s = ChainStreamer(spark, cfg)
         s.run(WalTailer(wal, batch_size=300))
 
         trades = s.tables["dex_trades"].read()
-        rows = {r["block_number"]: r for r in trades.collect()}
+        rows = {
+            r["block_number"]: r
+            for r in trades.filter(
+                (F.col("event_type") == "swap") & (F.col("amm") == "uniswap_v2")
+            ).collect()
+        }
         assert len(rows) == 60 - n_pools
         t = rows[20]
         # stable side (token0) is the base: amount_stable = |amount0| × 1.0
@@ -98,6 +103,26 @@ def test_enriched_dex_trades_in_streamer(spark):
         assert fork_t["transaction_hash"] != ""
         assert fork_t["amount_stable"] is not None
 
+        # liquidity events: every active block's v2 Mint resolves its LP
+        # provider through the LP-transfer chain (even blocks NULL->wallet
+        # direct, odd blocks routed NULL->intermediary->wallet)
+        liq = s.tables["liquidity_events"].read()
+        lrows = {r["block_number"]: r for r in liq.collect()}
+        assert len(lrows) == 60 - n_pools
+        tt = s.tables["token_transfers"].read()
+        direct_to = tt.filter(
+            (F.col("block_number") == 20) & (F.col("log_index") == 113)
+        ).first()["to_address"]
+        routed_to = tt.filter(
+            (F.col("block_number") == 21) & (F.col("log_index") == 114)
+        ).first()["to_address"]
+        assert lrows[20]["event_type"] == "mint"
+        assert lrows[20]["wallet_address"] == direct_to
+        assert lrows[21]["wallet_address"] == routed_to
+        # LP token (the pool) is not in the tokens dim -> no LP leg appended
+        assert len(lrows[20]["token_addresses"]) == 2
+        assert lrows[20]["amount_stable"] is not None
+
         # replay: identical enriched rows, not just identical counts
         def snap(st):
             return sorted(
@@ -105,6 +130,10 @@ def test_enriched_dex_trades_in_streamer(spark):
                  r["amount_stable"], tuple(r["prices_stable"] or []),
                  r["owner"], r["owner_type"])
                 for r in st.tables["dex_trades"].read().collect()
+            ) + sorted(
+                (r["block_number"], r["log_index"], r["wallet_address"],
+                 tuple(r["token_amounts"] or []), r["amount_stable"])
+                for r in st.tables["liquidity_events"].read().collect()
             )
 
         first = snap(s)
@@ -176,6 +205,7 @@ def test_reorg_reprices_interim_trades(spark):
         wal = generate_chain_wal(spark, spec).cache()
         ents = ENTITIES + (
             "token_transfer", "geth_trace", "trace", "contract", "token_balance",
+            "liquidity_event",
         )
 
         def run(wh, batch):
@@ -192,6 +222,10 @@ def test_reorg_reprices_interim_trades(spark):
                 (r["block_number"], r["log_index"], r["pool_address"],
                  r["amount_stable"], tuple(r["prices_stable"] or []))
                 for r in s.tables["dex_trades"].read().collect()
+            ) + sorted(
+                (r["block_number"], r["log_index"], r["wallet_address"],
+                 r["amount_stable"], tuple(r["prices_stable"] or []))
+                for r in s.tables["liquidity_events"].read().collect()
             )
 
         truth = snap(run(whA, 10**6))   # one batch: orphan marks never commit
