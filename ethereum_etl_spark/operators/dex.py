@@ -956,6 +956,11 @@ def extract_dex_trades_curve(
     has_underlying = "underlying_token_addresses" in pools.columns
     if has_underlying:
         pool_cols.append("underlying_token_addresses")
+    if "amm" in pools.columns:
+        # curve forks (ellipsis/saddle — reference ships them as separate,
+        # factory-commented clients with the same pool events) attribute
+        # through the pool dimension, like the v2/v3 fork families
+        pool_cols.append(F.col("amm").alias("__pool_amm"))
     p = F.broadcast(pools.select(*pool_cols))
     ev = parsed_logs.filter(
         F.array_contains(F.col("namespace"), "curve")
@@ -1014,7 +1019,11 @@ def extract_dex_trades_curve(
         F.array(F.col("__ti"), F.col("__tj")).alias("token_addresses"),
         "factory_address",
         F.col("parsed_event")["buyer"].alias("wallet_address"),
-        F.lit("curve").alias("amm"),
+        (
+            F.coalesce(F.col("__pool_amm"), F.lit("curve"))
+            if "amm" in pools.columns
+            else F.lit("curve")
+        ).alias("amm"),
     )
 
 
@@ -1534,8 +1543,18 @@ def extract_dex_trades_bento(
     )
 
 
+_WOMBAT_LIQ_INPUTS = [
+    {"name": "sender", "type": "address", "indexed": True},
+    {"name": "token", "type": "address", "indexed": False},
+    {"name": "amount", "type": "uint256", "indexed": False},
+    {"name": "liquidity", "type": "uint256", "indexed": False},
+    {"name": "to", "type": "address", "indexed": True},
+]
+
 WOMBAT_ABIS = [
-    # reference wombat/Pool.json Swap
+    # reference wombat/Pool.json Swap — byte-identical to the platypus
+    # PoolSecondary.json events (platypus ships factory-commented in the
+    # reference; its pools ride this decode with pool-amm attribution)
     EventAbi(
         name="Swap",
         inputs=[
@@ -1549,6 +1568,12 @@ WOMBAT_ABIS = [
         namespace="wombat",
         contract_name="pool",
     ),
+    # wombat/Pool.json Deposit/Withdraw (wombat.py:115-129, 256-302):
+    # one-sided liquidity legs in POOL token order
+    EventAbi(name="Deposit", inputs=_WOMBAT_LIQ_INPUTS,
+             namespace="wombat", contract_name="pool"),
+    EventAbi(name="Withdraw", inputs=_WOMBAT_LIQ_INPUTS,
+             namespace="wombat", contract_name="pool"),
 ]
 
 
@@ -1595,6 +1620,215 @@ def extract_dex_trades_wombat(parsed_logs: DataFrame, tokens: DataFrame) -> Data
         "factory_address",
         F.col("__wallet").alias("wallet_address"),
         F.lit("wombat").alias("amm"),
+    )
+
+
+def extract_dex_trades_wombat_liquidity(
+    parsed_logs: DataFrame, pools: DataFrame, tokens: DataFrame
+) -> DataFrame:
+    """Wombat/platypus Deposit/Withdraw → one-sided liquidity rows
+    (wombat.py:115-129 resolve_receipt_log, :256-302
+    _get_mint_burn_from_events): the event names its token; the amount
+    lands at that token's POSITION in the pool's N-coin order, the other
+    legs are 0. event_type = the lowercased event name ("deposit"/
+    "withdraw"), exactly the reference's rendering (:295 — these are NOT
+    folded into mint/burn, so the liquidity-event enrichment skips them
+    there too). Reserves/prices: the reference point-calls asset cash/
+    liability per coin (:137-171) — RPC state, 0-fallback here. The
+    reference's lp_token_address side-channel (burned-underlying scan)
+    has no column in this schema and is dropped.
+
+    Platypus pools (PoolSecondary.json — byte-identical events) attribute
+    through the pool dimension's ``amm`` label."""
+    ev = parsed_logs.filter(
+        F.array_contains(F.col("namespace"), "wombat")
+        & F.col("event_name").isin("Deposit", "Withdraw")
+    )
+    pe = F.col("parsed_event")
+    pcols = [
+        F.col("address").alias("contract_address"),
+        F.col("factory_address").alias("__pfactory"),
+        F.transform("token_addresses", F.lower).alias("__ptoks"),
+    ]
+    if "amm" in pools.columns:
+        pcols.append(F.col("amm").alias("__pamm"))
+    ev = ev.join(F.broadcast(pools.select(*pcols)), on="contract_address", how="inner")
+    ev = ev.withColumns(
+        {
+            "__tok": F.lower(pe["token"]),
+            "__pos": F.array_position(F.col("__ptoks"), F.lower(pe["token"])),
+        }
+    ).filter(F.col("__pos") > 0)
+    ev = ev.join(
+        F.broadcast(
+            tokens.select(
+                F.lower(F.col("address")).alias("__tok"),
+                F.col("decimals").alias("__dec"),
+            )
+        ),
+        on="__tok",
+        how="left",
+    )
+    # hoisted out of the transform lambda: the giant-hex fallback of the
+    # decode is a Python UDF, which Spark rejects inside a lambda function
+    ev = ev.withColumn(
+        "__amt", _pe("amount") / F.pow(F.lit(10.0), F.coalesce("__dec", F.lit(18)))
+    )
+    pos = F.col("__pos")
+    zeros = F.transform("__ptoks", lambda _: F.lit(0.0))
+    amounts = F.transform(
+        "__ptoks",
+        lambda _, i: F.when(i + 1 == pos, F.col("__amt")).otherwise(F.lit(0.0)),
+    )
+    return ev.select(
+        amounts.alias("token_amounts"),
+        F.col("contract_address").alias("pool_address"),
+        "transaction_hash",
+        "log_index",
+        "block_number",
+        F.lower(F.col("event_name")).alias("event_type"),
+        zeros.alias("token_reserves"),
+        zeros.alias("token_prices"),
+        F.col("__ptoks").alias("token_addresses"),
+        F.col("__pfactory").alias("factory_address"),
+        F.lower(pe["to"]).alias("wallet_address"),
+        (
+            F.coalesce(F.col("__pamm"), F.lit("wombat"))
+            if "amm" in pools.columns
+            else F.lit("wombat")
+        ).alias("amm"),
+    )
+
+
+# Bancor v2 converters (reference service/dex/bancor_v2/bancor_v2.py —
+# factory-commented dead code, re-expressed for coverage beyond the live
+# surface; event shapes from BancorConverter.json/StandardPoolConverter.json)
+BANCOR_V2_ABIS = [
+    EventAbi(
+        name="Conversion",
+        inputs=[
+            {"name": "_fromToken", "type": "address", "indexed": True},
+            {"name": "_toToken", "type": "address", "indexed": True},
+            {"name": "_trader", "type": "address", "indexed": True},
+            {"name": "_amount", "type": "uint256", "indexed": False},
+            {"name": "_return", "type": "uint256", "indexed": False},
+            {"name": "_conversionFee", "type": "int256", "indexed": False},
+        ],
+        namespace="bancor_v2",
+        contract_name="converter",
+    ),
+    EventAbi(
+        name="LiquidityAdded",
+        inputs=[
+            {"name": "_provider", "type": "address", "indexed": True},
+            {"name": "_reserveToken", "type": "address", "indexed": True},
+            {"name": "_amount", "type": "uint256", "indexed": False},
+            {"name": "_newBalance", "type": "uint256", "indexed": False},
+            {"name": "_newSupply", "type": "uint256", "indexed": False},
+        ],
+        namespace="bancor_v2",
+        contract_name="converter",
+    ),
+    EventAbi(
+        name="LiquidityRemoved",
+        inputs=[
+            {"name": "_provider", "type": "address", "indexed": True},
+            {"name": "_reserveToken", "type": "address", "indexed": True},
+            {"name": "_amount", "type": "uint256", "indexed": False},
+            {"name": "_newBalance", "type": "uint256", "indexed": False},
+            {"name": "_newSupply", "type": "uint256", "indexed": False},
+        ],
+        namespace="bancor_v2",
+        contract_name="converter",
+    ),
+]
+
+
+def extract_dex_trades_bancor_v2(
+    parsed_logs: DataFrame, pools: DataFrame, tokens: DataFrame
+) -> DataFrame:
+    """Bancor v2 converter events → dex_trades (bancor_v2.py
+    get_data_from_swap_event / get_data_from_mint_burn_event):
+
+    - Conversion: amounts mapped onto the converter's reserve-token order —
+      −_amount at the _fromToken leg, +_return at the _toToken leg; wallet
+      = _trader; prices = the swap's own ratio pair (the reference's
+      TokenRateUpdate sync handler is itself commented out).
+    - LiquidityAdded → mint, LiquidityRemoved → burn: one-sided _amount at
+      the _reserveToken leg (burn legs negative, this repo's uniform
+      rendering); wallet = _provider. The event's _newBalance IS the
+      post-event reserve of that leg, so it lands in token_reserves where
+      the reference would point-call reserveBalance (strictly the same
+      value, no RPC).
+
+    Converters have no factory event (registry RPC introspection) — pools
+    come from the configured/seeded dimension, like curve."""
+    ev = parsed_logs.filter(
+        F.array_contains(F.col("namespace"), "bancor_v2")
+        & F.col("event_name").isin("Conversion", "LiquidityAdded", "LiquidityRemoved")
+    )
+    pe = F.col("parsed_event")
+    pcols = [
+        F.col("address").alias("contract_address"),
+        "factory_address",
+        F.element_at("token_addresses", 1).alias("__t0"),
+        F.element_at("token_addresses", 2).alias("__t1"),
+    ]
+    if "amm" in pools.columns:
+        pcols.append(F.col("amm").alias("__pool_amm"))
+    ev = ev.join(F.broadcast(pools.select(*pcols)), on="contract_address", how="inner")
+    ev = _join_pair_decimals(ev, tokens, "__t0", "__t1")
+    en = F.col("event_name")
+    conv = en == "Conversion"
+    liq_sign = F.when(en == "LiquidityAdded", F.lit(1.0)).otherwise(F.lit(-1.0))
+    frm, to, rt = F.lower(pe["_fromToken"]), F.lower(pe["_toToken"]), F.lower(pe["_reserveToken"])
+
+    def leg(t, scale):
+        return (
+            F.when(
+                conv,
+                F.when(frm == t, -_pe("_amount"))
+                .when(to == t, _pe("_return"))
+                .otherwise(F.lit(0.0)),
+            ).otherwise(
+                F.when(rt == t, liq_sign * _pe("_amount")).otherwise(F.lit(0.0))
+            )
+            / scale
+        )
+
+    def res(t, scale):
+        return F.when(
+            ~conv & (rt == t), _pe("_newBalance") / scale
+        ).otherwise(F.lit(0.0))
+
+    a0 = leg(F.col("__t0"), F.col("__s0"))
+    a1 = leg(F.col("__t1"), F.col("__s1"))
+    ev = ev.withColumns({"__a0": a0, "__a1": a1})
+    p0, p1 = _ratio_prices(F.col("__a0"), F.col("__a1"))
+    swap_p = conv
+    return ev.select(
+        F.array(F.col("__a0"), F.col("__a1")).alias("token_amounts"),
+        F.col("contract_address").alias("pool_address"),
+        "transaction_hash",
+        "log_index",
+        "block_number",
+        F.when(conv, "swap")
+        .when(en == "LiquidityAdded", "mint")
+        .otherwise("burn")
+        .alias("event_type"),
+        F.array(res(F.col("__t0"), F.col("__s0")), res(F.col("__t1"), F.col("__s1"))).alias("token_reserves"),
+        F.array(
+            F.when(swap_p, p0).otherwise(F.lit(0.0)),
+            F.when(swap_p, p1).otherwise(F.lit(0.0)),
+        ).alias("token_prices"),
+        F.array(F.col("__t0"), F.col("__t1")).alias("token_addresses"),
+        "factory_address",
+        F.lower(F.coalesce(pe["_trader"], pe["_provider"])).alias("wallet_address"),
+        (
+            F.coalesce(F.col("__pool_amm"), F.lit("bancor_v2"))
+            if "amm" in pools.columns
+            else F.lit("bancor_v2")
+        ).alias("amm"),
     )
 
 

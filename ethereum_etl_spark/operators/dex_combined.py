@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from ethereum_etl_spark.operators.dex import (
     BALANCER_V2_ABIS,
+    BANCOR_V2_ABIS,
     CARBON_ABIS,
     CURVE_ABIS,
     DODO_ABIS,
@@ -78,6 +79,7 @@ FAMILY_ABIS = {
     "wombat": WOMBAT_ABIS,
     "carbondefi": CARBON_ABIS,
     "fjord": FJORD_ABIS,
+    "bancor_v2": BANCOR_V2_ABIS,
 }
 
 # family key → event names, in the SAME order the streamer's union ran the
@@ -95,9 +97,10 @@ FAMILY_EVENTS: dict[str, tuple[str, ...]] = {
     "traderjoe_v2_1": ("Swap", "DepositedToBins", "WithdrawnFromBins"),
     "one_inch": ("Swapped",),
     "sushiswap_bento": ("Swap", "Sync", "Mint"),
-    "wombat": ("Swap",),
+    "wombat": ("Swap",),  # Deposit/Withdraw ride the aux N-leg union below
     "carbondefi": ("TokensTraded",),
     "fjord": ("Buy", "Sell"),
+    "bancor_v2": ("Conversion", "LiquidityAdded", "LiquidityRemoved"),
 }
 
 # families that resolve their traded pair from the event itself and need no
@@ -327,6 +330,33 @@ def extract_dex_trades_combined(
     bento_in0 = F.lower(pe["tokenIn"]) == F.col("__t0")
     dv2_from0 = F.lower(pe["fromToken"]) == F.col("__t0")
     fj_buy = en == "Buy"
+    # bancor v2 (BANCOR_V2_ABIS note): Conversion maps -_amount/+_return
+    # onto the converter's reserve order; Liquidity* is one-sided _amount
+    # at the _reserveToken leg (sign = mint/burn)
+    bc_conv = en == "Conversion"
+    bc_sign = F.when(en == "LiquidityAdded", F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    def _bc_leg(t, s_):
+        return (
+            F.when(
+                bc_conv,
+                F.when(F.lower(pe["_fromToken"]) == t, -_pe("_amount"))
+                .when(F.lower(pe["_toToken"]) == t, _pe("_return"))
+                .otherwise(F.lit(0.0)),
+            ).otherwise(
+                F.when(
+                    F.lower(pe["_reserveToken"]) == t, bc_sign * _pe("_amount")
+                ).otherwise(F.lit(0.0))
+            )
+            / s_
+        )
+
+    def _bc_res(t, s_):
+        return F.when(
+            ~bc_conv & (F.lower(pe["_reserveToken"]) == t),
+            _pe("_newBalance") / s_,
+        ).otherwise(F.lit(0.0))
+
     a0 = chain([
         ("uniswap_v2", v2_a0),
         ("meshswap", mesh_a0 / s0),
@@ -345,6 +375,7 @@ def extract_dex_trades_combined(
         ("wombat", _pe("fromAmount") / s0),
         ("carbondefi", _pe("sourceAmount") / s0),
         ("fjord", (F.when(fj_buy, -_pe("assets")).otherwise(_pe("assets"))) / s0),
+        ("bancor_v2", _bc_leg(F.col("__t0"), s0)),
     ])
     a1 = chain([
         ("uniswap_v2", v2_a1),
@@ -364,6 +395,7 @@ def extract_dex_trades_combined(
         ("wombat", -_pe("toAmount") / s1),
         ("carbondefi", -_pe("targetAmount") / s1),
         ("fjord", (F.when(fj_buy, _pe("shares")).otherwise(-_pe("shares"))) / s1),
+        ("bancor_v2", _bc_leg(F.col("__t1"), s1)),
     ])
     ev = ev.withColumns({"__a0": a0, "__a1": a1})
     ra0, ra1 = F.col("__a0"), F.col("__a1")
@@ -393,6 +425,7 @@ def extract_dex_trades_combined(
         ("one_inch", clamp(oi_p0)),
         ("sushiswap_bento", clamp(res_p0)),
         ("traderjoe_v2_1", tj_p0),
+        ("bancor_v2", F.when(bc_conv, rat0).otherwise(F.lit(0.0))),
     ], default=rat0)
     p1 = chain([
         ("uniswap_v2", clamp(res_p1)),
@@ -401,6 +434,7 @@ def extract_dex_trades_combined(
         ("one_inch", clamp(oi_p1)),
         ("sushiswap_bento", clamp(res_p1)),
         ("traderjoe_v2_1", tj_p1),
+        ("bancor_v2", F.when(bc_conv, rat1).otherwise(F.lit(0.0))),
     ], default=rat1)
 
     # reserves (v3's as-of branch attaches after the select)
@@ -413,6 +447,7 @@ def extract_dex_trades_combined(
         ("meshswap", sync_res),
         ("sushiswap_bento", sync_res),
         ("one_inch", F.array(oi_r0, oi_r1)),
+        ("bancor_v2", F.array(_bc_res(F.col("__t0"), s0), _bc_res(F.col("__t1"), s1))),
     ], default=zero2)
 
     # event_type / wallet / amm / addresses / identity columns
@@ -422,6 +457,7 @@ def extract_dex_trades_combined(
         ("uniswap_v3", F.when(en == "Swap", "swap").when(en == "Mint", "mint").otherwise("burn")),
         ("traderjoe_v2_1", F.when(tj_swap, "swap").when(en == "DepositedToBins", "mint").otherwise("burn")),
         ("sushiswap_bento", F.when(en == "Swap", "swap").when(en == "Mint", "mint").otherwise("burn")),
+        ("bancor_v2", F.when(bc_conv, "swap").when(en == "LiquidityAdded", "mint").otherwise("burn")),
     ], default=F.lit("swap"))
     wallet = chain([
         ("uniswap_v2", F.coalesce(pe["to"], pe["sender"])),
@@ -437,11 +473,12 @@ def extract_dex_trades_combined(
         ("wombat", F.lower(pe["to"])),
         ("carbondefi", F.lower(pe["trader"])),
         ("fjord", F.lower(pe["caller"])),
+        ("bancor_v2", F.lower(F.coalesce(pe["_trader"], pe["_provider"]))),
     ])
     amm = chain([
         ("uniswap_v2", F.coalesce(F.col("__pamm"), F.lit("uniswap_v2")) if has_amm else F.lit("uniswap_v2")),
         ("uniswap_v3", F.coalesce(F.col("__pamm"), F.lit("uniswap_v3")) if has_amm else F.lit("uniswap_v3")),
-    ], default=fam)
+    ], default=F.coalesce(F.col("__pamm"), fam) if has_amm else fam)
     out_tokens = chain([
         ("uniswap_v2", F.col("__ptoks")),
         ("uniswap_v3", F.col("__ptoks")),
@@ -491,4 +528,16 @@ def extract_dex_trades_combined(
         rest = trades.filter(F.col("__fam") != "uniswap_v3")
         v3 = _asof_pool_reserves(v3, pool_balances)
         trades = rest.unionByName(v3.select(*rest.columns))
-    return trades.drop("__fam", "__t0", "__t1", "__s0", "__s1")
+    out = trades.drop("__fam", "__t0", "__t1", "__s0", "__s1")
+    if "wombat" in fams:
+        # wombat/platypus Deposit/Withdraw emit N-leg one-sided rows in pool
+        # token order — a different row shape than the pair tree, unioned as
+        # a (tiny) side branch only when the family is present in the batch
+        from ethereum_etl_spark.operators.dex import (
+            extract_dex_trades_wombat_liquidity,
+        )
+
+        out = out.unionByName(
+            extract_dex_trades_wombat_liquidity(parsed_logs, pools, tokens)
+        )
+    return out

@@ -164,7 +164,9 @@ def _enrich_tx(trades: pd.DataFrame, transfers: pd.DataFrame) -> Iterable[dict]:
                 out_prices, out_reserves = list(prices), list(reserves)
                 out_rs = list(reserves_stable)
                 lp_dec = base["__lp_decimals"]
-                if lp_dec is not None and not pd.isna(lp_dec):
+                # reference :240 `if lp_token and lp_token['decimals']:` —
+                # 0 decimals counts as unknown, no LP leg
+                if lp_dec is not None and not pd.isna(lp_dec) and int(lp_dec):
                     scale = 10.0 ** int(lp_dec)
                     supply_raw = base["__lp_total_supply"]
                     supply = (

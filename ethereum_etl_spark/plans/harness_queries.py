@@ -3386,3 +3386,226 @@ def q60(spark, sf):
         F.round(F.element_at("prices_stable", 3), 6).alias("price_lp"),
         F.round(F.element_at("token_reserves", 3), 6).alias("reserve_lp"),
     )
+
+
+@_q(
+    "q61_wombat_platypus_liquidity",
+    """
+    WITH s AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 3000),
+    base AS (
+      SELECT k, md5(CAST(k AS VARCHAR)) AS tx,
+             '0x' || lpad(lower(to_hex(k % 10)), 40, '0') AS pool,
+             k % 3 AS ci,
+             CASE WHEN k % 2 = 0 THEN 'deposit' ELSE 'withdraw' END AS event_type,
+             CASE WHEN k % 10 % 2 = 0 THEN 'wombat' ELSE 'platypus' END AS amm,
+             CAST(k % 9 + 1 AS DOUBLE) AS amt,
+             '0xc1' || lpad(lower(to_hex(k * 7 + 3)), 38, '0') AS wallet
+      FROM s)
+    SELECT tx AS transaction_hash, 3 AS log_index, pool AS pool_address,
+           event_type, amm, wallet AS wallet_address,
+           CASE WHEN ci = 0 THEN amt ELSE 0.0 END AS amount0,
+           CASE WHEN ci = 1 THEN amt ELSE 0.0 END AS amount1,
+           CASE WHEN ci = 2 THEN amt ELSE 0.0 END AS amount2
+    FROM base
+    """,
+)
+def q61(spark, sf):
+    """Wombat/platypus Deposit/Withdraw liquidity rows (wombat.py:115-129,
+    256-302): one-sided amount at the event token's position in the pool's
+    N-coin order; platypus pools (byte-identical PoolSecondary events)
+    attribute through the pool dimension's amm label."""
+    from ethereum_etl_spark.operators.dex import (
+        WOMBAT_ABIS,
+        extract_dex_trades_wombat_liquidity,
+    )
+    from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
+
+    DEP, WDR = WOMBAT_ABIS[1], WOMBAT_ABIS[2]
+    o = ld(spark, sf, "orders").filter("o_orderkey <= 3000")
+    k = F.col("o_orderkey")
+
+    def w64(c):
+        return F.lpad(F.lower(F.hex(c.cast("long"))), 64, "0")
+
+    def aw(c):  # address word (left-padded 20-byte address)
+        return F.lpad(F.lpad(F.lower(F.hex(c.cast("long"))), 40, "0"), 64, "0")
+
+    pool = F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(k % 10)), 40, "0"))
+    # pool i holds tokens [i*3+100, i*3+101, i*3+102] with decimals 6/18/8
+    tok_addr = lambda c: F.concat(  # noqa: E731
+        F.lit("0x"), F.lpad(F.lower(F.hex(c.cast("long"))), 40, "0")
+    )
+    ci = k % 3
+    ev_tok = (k % 10) * 3 + 100 + ci
+    dec = F.when(ci == 0, 6).when(ci == 1, 18).otherwise(8)
+    # raw word must fit int64: amt <= 9 keeps 9e18 < 2^63
+    amt_raw = (k % 9 + 1).cast("decimal(38,0)") * F.pow(F.lit(10.0), dec).cast(
+        "decimal(38,0)"
+    )
+    wallet_w = F.lpad(
+        F.concat(F.lit("c1"), F.lpad(F.lower(F.hex(k * 7 + 3)), 38, "0")), 64, "0"
+    )
+    logs = o.select(
+        F.lit(3).alias("log_index"),
+        F.md5(k.cast("string")).alias("transaction_hash"),
+        F.lit(0).alias("transaction_index"),
+        F.lit("0xb").alias("block_hash"),
+        k.alias("block_number"),
+        pool.alias("address"),
+        F.concat(
+            F.lit("0x"), aw(ev_tok), w64(amt_raw), w64(F.lit(1))
+        ).alias("data"),
+        F.array(
+            F.when(k % 2 == 0, F.lit(DEP.topic0)).otherwise(F.lit(WDR.topic0)),
+            F.concat(F.lit("0x"), aw(k)),  # sender (unused)
+            F.concat(F.lit("0x"), wallet_w),  # to
+        ).alias("topics"),
+    )
+    abis = [DEP, WDR]
+    parsed = parse_logs(logs, build_inventory(spark, abis), abis)
+    r = spark.range(0, 10)
+    i = F.col("id")
+    pools = r.select(
+        F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(i)), 40, "0")).alias("address"),
+        F.lit("0xfac").alias("factory_address"),
+        F.array(
+            tok_addr(i * 3 + 100), tok_addr(i * 3 + 101), tok_addr(i * 3 + 102)
+        ).alias("token_addresses"),
+        F.lit(0).alias("fee"),
+        F.array().cast("array<string>").alias("lp_token_addresses"),
+        F.when(i % 2 == 0, "wombat").otherwise("platypus").alias("amm"),
+    )
+    tokens = r.select(
+        F.explode(
+            F.array(
+                F.struct(tok_addr(i * 3 + 100).alias("address"), F.lit(6).alias("decimals")),
+                F.struct(tok_addr(i * 3 + 101).alias("address"), F.lit(18).alias("decimals")),
+                F.struct(tok_addr(i * 3 + 102).alias("address"), F.lit(8).alias("decimals")),
+            )
+        ).alias("t")
+    ).select("t.address", F.lit("X").alias("symbol"), "t.decimals")
+    out = extract_dex_trades_wombat_liquidity(parsed, pools, tokens)
+    return out.select(
+        "transaction_hash", "log_index", "pool_address", "event_type", "amm",
+        "wallet_address",
+        F.round(F.element_at("token_amounts", 1), 6).alias("amount0"),
+        F.round(F.element_at("token_amounts", 2), 6).alias("amount1"),
+        F.round(F.element_at("token_amounts", 3), 6).alias("amount2"),
+    )
+
+
+@_q(
+    "q62_bancor_v2_trades",
+    """
+    WITH s AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 3000),
+    base AS (
+      SELECT k, md5(CAST(k AS VARCHAR)) AS tx,
+             '0x' || lpad(lower(to_hex(k % 8)), 40, '0') AS pool,
+             k % 3 AS kind,
+             CAST(k % 50 + 1 AS DOUBLE) AS amt,
+             CAST(k % 9 + 1 AS DOUBLE) AS ret,
+             CAST(k % 7 + 1 AS DOUBLE) AS lamt,
+             CAST(k % 8 + 1 AS DOUBLE) AS nbal,
+             '0xc1' || lpad(lower(to_hex(k * 7 + 3)), 38, '0') AS wallet
+      FROM s)
+    SELECT tx AS transaction_hash, 4 AS log_index, pool AS pool_address,
+           CASE kind WHEN 0 THEN 'swap' WHEN 1 THEN 'mint' ELSE 'burn' END AS event_type,
+           wallet AS wallet_address,
+           CASE kind WHEN 0 THEN -amt WHEN 1 THEN 0.0 ELSE -lamt END AS amount0,
+           CASE kind WHEN 0 THEN ret WHEN 1 THEN lamt ELSE 0.0 END AS amount1,
+           CASE kind WHEN 2 THEN nbal ELSE 0.0 END AS reserve0,
+           CASE kind WHEN 1 THEN nbal ELSE 0.0 END AS reserve1,
+           CASE kind WHEN 0 THEN round(ret / amt, 6) ELSE 0.0 END AS price0
+    FROM base
+    """,
+)
+def q62(spark, sf):
+    """Bancor v2 Conversion/LiquidityAdded/LiquidityRemoved → dex_trades
+    (bancor_v2.py dead-code semantics, BANCOR_V2_ABIS note): swap legs
+    -_amount/+_return mapped by reserve order, one-sided liquidity legs
+    with the event's _newBalance as that leg's reserve."""
+    from ethereum_etl_spark.operators.dex import (
+        BANCOR_V2_ABIS,
+        POOL_DDL,
+        TOKEN_DIM_DDL,
+        extract_dex_trades_bancor_v2,
+    )
+    from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
+
+    CONV, ADD, REM = BANCOR_V2_ABIS
+    tok_a, tok_b = "0x" + "4" * 40, "0x" + "5" * 40
+    wa = F.lpad(F.lit("4" * 40), 64, "0")
+    wb = F.lpad(F.lit("5" * 40), 64, "0")
+    o = ld(spark, sf, "orders").filter("o_orderkey <= 3000")
+    k = F.col("o_orderkey")
+
+    def w64(c):
+        return F.lpad(F.lower(F.hex(c.cast("long"))), 64, "0")
+
+    E6, E18 = F.lit(10**6), F.lit(10**18)
+    kind = k % 3
+    wallet_w = F.lpad(
+        F.concat(F.lit("c1"), F.lpad(F.lower(F.hex(k * 7 + 3)), 38, "0")), 64, "0"
+    )
+    pool = F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(k % 8)), 40, "0"))
+    common = [
+        F.lit(4).alias("log_index"),
+        F.md5(k.cast("string")).alias("transaction_hash"),
+        F.lit(0).alias("transaction_index"),
+        F.lit("0xb").alias("block_hash"),
+        k.alias("block_number"),
+        pool.alias("address"),
+    ]
+    conv_logs = o.filter(kind == 0).select(
+        *common,
+        F.concat(
+            F.lit("0x"), w64((k % 50 + 1) * E6), w64((k % 9 + 1) * E18), w64(F.lit(0))
+        ).alias("data"),
+        F.array(
+            F.lit(CONV.topic0),
+            F.concat(F.lit("0x"), wa),
+            F.concat(F.lit("0x"), wb),
+            F.concat(F.lit("0x"), wallet_w),
+        ).alias("topics"),
+    )
+    add_logs = o.filter(kind == 1).select(
+        *common,
+        F.concat(
+            F.lit("0x"), w64((k % 7 + 1) * E18), w64((k % 8 + 1) * E18), w64(F.lit(1))
+        ).alias("data"),
+        F.array(
+            F.lit(ADD.topic0),
+            F.concat(F.lit("0x"), wallet_w),
+            F.concat(F.lit("0x"), wb),
+        ).alias("topics"),
+    )
+    rem_logs = o.filter(kind == 2).select(
+        *common,
+        F.concat(
+            F.lit("0x"), w64((k % 7 + 1) * E6), w64((k % 8 + 1) * E6), w64(F.lit(1))
+        ).alias("data"),
+        F.array(
+            F.lit(REM.topic0),
+            F.concat(F.lit("0x"), wallet_w),
+            F.concat(F.lit("0x"), wa),
+        ).alias("topics"),
+    )
+    logs = conv_logs.unionByName(add_logs).unionByName(rem_logs)
+    parsed = parse_logs(logs, build_inventory(spark, BANCOR_V2_ABIS), BANCOR_V2_ABIS)
+    pools = spark.createDataFrame(
+        [(f"0x{i:040x}", "0xfac", [tok_a, tok_b], 0, []) for i in range(8)],
+        POOL_DDL,
+    )
+    tokens = spark.createDataFrame(
+        [(tok_a, "AAA", 6), (tok_b, "BBB", 18)], TOKEN_DIM_DDL
+    )
+    out = extract_dex_trades_bancor_v2(parsed, pools, tokens)
+    return out.select(
+        "transaction_hash", "log_index", "pool_address", "event_type",
+        "wallet_address",
+        (F.round(F.element_at("token_amounts", 1), 6) + F.lit(0.0)).alias("amount0"),
+        (F.round(F.element_at("token_amounts", 2), 6) + F.lit(0.0)).alias("amount1"),
+        F.round(F.element_at("token_reserves", 1), 6).alias("reserve0"),
+        F.round(F.element_at("token_reserves", 2), 6).alias("reserve1"),
+        F.round(F.element_at("token_prices", 1), 6).alias("price0"),
+    )

@@ -1032,7 +1032,28 @@ class ChainStreamer:
                 return stamp(_enriched_trades(), "dex_trade"), {}
 
             add("dex_trades", None, df_fn=_trades)
-            if "liquidity_event" in want and batch_transfers is not None:
+            # liquidity topic0s present in THIS batch? (free — from the
+            # stats pass): mint/burn events are rare relative to swaps, so
+            # most cycles skip the cogroup + merge entirely
+            _LIQ_EVENTS = {
+                "Mint", "Burn", "Collect", "AddLiquidity", "RemoveLiquidity",
+                "DepositedToBins", "WithdrawnFromBins",
+                "LiquidityAdded", "LiquidityRemoved",
+            }
+            liq_hit = bool(
+                {
+                    a.topic0
+                    for abis in FAMILY_ABIS.values()
+                    for a in abis
+                    if a.name in _LIQ_EVENTS
+                }
+                & present_t0s
+            )
+            if (
+                "liquidity_event" in want
+                and batch_transfers is not None
+                and liq_hit
+            ):
 
                 def _liquidity():
                     # enrich_dex_trades_job.py:141-263 in the loop: one row

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ethereum_etl_spark.operators.dex import (
     BALANCER_V2_ABIS,
+    BANCOR_V2_ABIS,
     CARBON_ABIS,
     CURVE_ABIS,
     DISCOVERED_POOL_DDL,
@@ -35,6 +36,7 @@ from ethereum_etl_spark.operators.dex import (
     WOMBAT_ABIS,
     extract_dex_trades,
     extract_dex_trades_balancer,
+    extract_dex_trades_bancor_v2,
     extract_dex_trades_bento,
     extract_dex_trades_carbon,
     extract_dex_trades_curve,
@@ -46,6 +48,7 @@ from ethereum_etl_spark.operators.dex import (
     extract_dex_trades_traderjoe,
     extract_dex_trades_v3,
     extract_dex_trades_wombat,
+    extract_dex_trades_wombat_liquidity,
 )
 from ethereum_etl_spark.operators.dex_combined import (
     FAMILY_EVENTS,
@@ -83,7 +86,7 @@ ALL_ABIS = (
     UNISWAP_V2_ABIS + UNISWAP_V3_ABIS + BALANCER_V2_ABIS + CURVE_ABIS
     + DODO_ABIS + DODO_V2_ABIS + TRADERJOE_ABIS + ONE_INCH_ABIS
     + SUSHI_BENTO_ABIS + WOMBAT_ABIS + CARBON_ABIS + FJORD_ABIS
-    + MESHSWAP_ABIS
+    + MESHSWAP_ABIS + BANCOR_V2_ABIS
 )
 
 W = lambda v: f"{v & ((1 << 256) - 1):064x}"  # noqa: E731 — two's complement
@@ -101,6 +104,7 @@ WALLET1, WALLET2 = ADDR("e1"), ADDR("e2")
 P_V2, P_V3, P_CRV, P_DODO, P_DV2 = ADDR("1"), ADDR("2"), ADDR("3"), ADDR("4"), ADDR("5")
 P_TJ, P_OI, P_BEN, P_FJ, P_META = ADDR("6"), ADDR("7"), ADDR("8"), ADDR("9"), ADDR("31")
 P_MESH = ADDR("32")
+P_BC, P_PLAT = ADDR("b3"), ADDR("34")
 VAULT, WOM, CTRL, UNKNOWN = ADDR("bb"), ADDR("cc"), ADDR("dd"), ADDR("ff")
 
 
@@ -194,10 +198,28 @@ def _fixture_logs(spark):
         [TOPIC(int(WALLET1, 16)), TOPIC(int(WALLET2, 16))],
         [W(1_000_000), W(10**18)])
 
-    # wombat: in-event pair
+    # wombat: in-event pair swap, then a Deposit (one-sided, pool order);
+    # platypus pool (identical events) attributes via its dim label
     log(1, "0xwo", WOM, WOMBAT_ABIS[0].topic0,
         [TOPIC(int(WALLET1, 16)), TOPIC(int(WALLET2, 16))],
         [W(int(TA, 16)), W(int(TB, 16)), W(3_000_000), W(2 * 10**18)])
+    log(2, "0xwo", WOM, WOMBAT_ABIS[1].topic0,
+        [TOPIC(int(WALLET1, 16)), TOPIC(int(WALLET2, 16))],
+        [W(int(TB, 16)), W(2 * 10**18), W(1)])
+    log(1, "0xpl", P_PLAT, WOMBAT_ABIS[2].topic0,
+        [TOPIC(int(WALLET2, 16)), TOPIC(int(WALLET1, 16))],
+        [W(int(TA, 16)), W(900_000), W(1)])
+
+    # bancor v2 converter: Conversion + both liquidity events
+    log(1, "0xbc", P_BC, BANCOR_V2_ABIS[0].topic0,
+        [TOPIC(int(TA, 16)), TOPIC(int(TB, 16)), TOPIC(int(WALLET1, 16))],
+        [W(2_000_000), W(3 * 10**18), W(5)])
+    log(2, "0xbc", P_BC, BANCOR_V2_ABIS[1].topic0,
+        [TOPIC(int(WALLET2, 16)), TOPIC(int(TB, 16))],
+        [W(10**18), W(4 * 10**18), W(1)])
+    log(3, "0xbc", P_BC, BANCOR_V2_ABIS[2].topic0,
+        [TOPIC(int(WALLET1, 16)), TOPIC(int(TA, 16))],
+        [W(700_000), W(1_200_000), W(1)])
 
     # carbondefi: controller-emitted
     log(1, "0xcb", CTRL, CARBON_ABIS[0].topic0,
@@ -246,6 +268,9 @@ def _dims(spark):
             mk(P_BEN, [TA, TB]),
             mk(P_FJ, [TA, TB]),
             mk(P_MESH, [TA, TB], amm="meshswap"),
+            mk(WOM, [TA, TB]),
+            mk(P_PLAT, [TA, TB], amm="platypus"),
+            mk(P_BC, [TA, TB]),
         ],
         DISCOVERED_POOL_DDL,
     )
@@ -278,6 +303,8 @@ def _union_of_individual(parsed, pools, tokens, pool_balances=None):
         extract_dex_trades_carbon(parsed, tokens),
         extract_dex_trades_fjord(parsed, pools, tokens),
         extract_dex_trades_meshswap(parsed, pools, tokens),
+        extract_dex_trades_wombat_liquidity(parsed, pools, tokens),
+        extract_dex_trades_bancor_v2(parsed, pools, tokens),
     ]
     out = parts[0].select(*shape)
     for p in parts[1:]:
@@ -319,8 +346,8 @@ def test_combined_equals_union_all_families(spark, parsed):
     combined = extract_dex_trades_combined(parsed, pools, tokens)
     union = _union_of_individual(parsed, pools, tokens)
     rows = combined.collect()
-    assert len(rows) == 26  # every family present, drops applied
-    assert len({r["amm"] for r in rows}) == 13
+    assert len(rows) == 31  # every family present, drops applied
+    assert len({r["amm"] for r in rows}) == 15  # incl. platypus + bancor_v2
     _assert_equivalent(combined, union, got=rows)
 
 
@@ -346,9 +373,11 @@ def test_combined_family_subset_prunes_output(spark, parsed):
     sub = extract_dex_trades_combined(
         parsed, pools, tokens, families=["curve", "wombat"]
     )
+    # the wombat subset carries its aux Deposit/Withdraw rows, whose amm
+    # attributes through the pool dim (platypus fork)
     assert sorted(
         r["amm"] for r in sub.select("amm").distinct().collect()
-    ) == ["curve", "wombat"]
+    ) == ["curve", "platypus", "wombat"]
 
 
 def test_combined_meshswap_without_v2_keeps_sync_reserves(spark, parsed):
