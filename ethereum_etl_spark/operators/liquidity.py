@@ -114,29 +114,39 @@ def _resolve_transfers(
     return out
 
 
-def _enrich_tx(trades: pd.DataFrame, transfers: pd.DataFrame) -> Iterable[dict]:
-    tx_transfer_count = int(trades["__tx_transfer_count"].iloc[0] or 0)
+def _enrich_tx(
+    trades: list[dict],
+    transfers: list[dict],
+    tx_transfer_count: int,
+    first_from: str | None,
+    first_to: str | None,
+) -> Iterable[dict]:
     if tx_transfer_count == 0 or tx_transfer_count > 500:
         return  # :429-430 — the skew cap drops the whole transaction
-    first_from = trades["__first_from"].iloc[0]
-    first_to = trades["__first_to"].iloc[0]
 
-    trades = trades.sort_values("log_index")  # reference export order
-    tr = transfers.sort_values("log_index")
-    lp_transfers = tr.to_dict("records")
-    lp_tokens = {t for t in trades["lp_token_address"] if isinstance(t, str)}
+    trades = sorted(trades, key=lambda r: r["log_index"])  # export order
+    lp_transfers = sorted(transfers, key=lambda r: r["log_index"])
+    lp_tokens = {
+        r["lp_token_address"] for r in trades
+        if isinstance(r["lp_token_address"], str)
+    }
 
     for event_type in ("burn", "mint"):
-        ev = trades[trades["event_type"] == event_type]
-        if ev.empty:
+        ev = [r for r in trades if r["event_type"] == event_type]
+        if not ev:
             continue
         resolved = _resolve_transfers(
             lp_transfers, event_type, lp_tokens, first_from, first_to
         )
         wallet_k = "from_address" if event_type == "burn" else "to_address"
 
-        for lp_token, group in ev.groupby("lp_token_address", sort=False):
-            rows = group.to_dict("records")
+        by_lp: dict[str, list[dict]] = {}  # insertion order = event order
+        for r in ev:
+            lp = r["lp_token_address"]
+            if isinstance(lp, str):
+                by_lp.setdefault(lp, []).append(r)
+
+        for lp_token, rows in by_lp.items():
             base = rows[0]
             n_legs = len(base["token_amounts"])
             merged_amounts = [
@@ -200,10 +210,27 @@ def _enrich_tx(trades: pd.DataFrame, transfers: pd.DataFrame) -> Iterable[dict]:
                 }
 
 
-def _cogroup_fn(trades: pd.DataFrame, transfers: pd.DataFrame) -> pd.DataFrame:
-    cols = [f.strip().split(" ")[0] for f in LIQUIDITY_EVENT_DDL.split(",")]
-    rows = list(_enrich_tx(trades, transfers)) if len(trades) else []
-    return pd.DataFrame(rows, columns=cols)
+_OUT_COLS = [f.strip().split(" ")[0] for f in LIQUIDITY_EVENT_DDL.split(",")]
+
+
+def _map_fn(batches):
+    """mapInPandas over PRE-AGGREGATED rows (one row = one transaction,
+    trades/transfers as struct arrays): the per-transaction Python work is
+    microseconds, so the dominant cost of a per-tx cogroup was the Arrow +
+    pandas invocation PER GROUP (~1.5 ms × one group per transaction —
+    measured as the single largest merge in the dex-inclusive replay).
+    Folding the fan-out into struct-array rows amortizes that overhead over
+    whole Arrow batches (~100x fewer Python crossings)."""
+    for pdf in batches:
+        rows: list[dict] = []
+        for tx_trades, tx_transfers, cnt, ff, ft in zip(
+            pdf["__trades"], pdf["__transfers"], pdf["__tx_transfer_count"],
+            pdf["__first_from"], pdf["__first_to"],
+        ):
+            rows.extend(
+                _enrich_tx(list(tx_trades), list(tx_transfers), int(cnt), ff, ft)
+            )
+        yield pd.DataFrame(rows, columns=_OUT_COLS)
 
 
 def enrich_liquidity_events(
@@ -216,16 +243,18 @@ def enrich_liquidity_events(
     liquidity events (the reference's enriched_dex_trade rows for
     liquidity events).
 
-    ``trades`` needs the already-enriched dex_trades columns
+    ``trades`` needs the already-priced dex_trades columns
     (token_amounts/token_reserves/prices_stable may be NULL → priced at 0,
     the reference's price-service fallback). ``pools`` supplies
     lp_token_addresses, ``tokens`` the LP token's decimals/total_supply.
 
     Scale shape: transfers are semi-joined to the liquidity transactions,
     the per-tx transfer count (cap) and first-transfer endpoints are one
-    map-side-combined aggregation, only LP-token transfers cross the Arrow
-    boundary, and the single shuffle is hash(transaction_hash) with groups
-    bounded by the reference's own 500-transfer cap.
+    aggregation, only LP-token transfers cross the Arrow boundary, both
+    sides collapse to per-transaction struct arrays (bounded by the
+    reference's own 500-transfer cap) in ONE hash(transaction_hash)
+    shuffle each, and the Python stage is a mapInPandas over those
+    pre-aggregated rows — no per-group pandas invocations.
     """
     liq = trades.filter(F.col("event_type").isin("mint", "burn"))
     # key-filter both dims to this call's pools BEFORE broadcasting — the
@@ -270,17 +299,35 @@ def enrich_liquidity_events(
         F.min_by("from_address", "log_index").alias("__first_from"),
         F.min_by("to_address", "log_index").alias("__first_to"),
     )
-    liq = liq.join(stats, on="transaction_hash", how="left").fillna(
-        {"__tx_transfer_count": 0}
-    )
     # only LP-token transfers can appear in a consulted chain — ship just those
     lp_keys = liq.select(
         "transaction_hash", F.col("lp_token_address").alias("token_address")
     ).distinct()
     tr_lp = tr.join(lp_keys, on=["transaction_hash", "token_address"], how="left_semi")
 
-    return (
-        liq.groupBy("transaction_hash")
-        .cogroup(tr_lp.groupBy("transaction_hash"))
-        .applyInPandas(lambda t, x: _cogroup_fn(t, x), LIQUIDITY_EVENT_DDL)
+    trade_cols = [
+        "block_number", "log_index", "transaction_hash", "pool_address",
+        "lp_token_address", "event_type", "token_amounts", "token_reserves",
+        "prices_stable", "token_addresses", "factory_address", "amm",
+        "__lp_decimals", "__lp_total_supply",
+    ]
+    liq_agg = liq.groupBy("transaction_hash").agg(
+        F.collect_list(F.struct(*trade_cols)).alias("__trades")
     )
+    tr_agg = tr_lp.groupBy("transaction_hash").agg(
+        F.collect_list(
+            F.struct(
+                "log_index", "block_number", "token_address",
+                "from_address", "to_address", "value",
+            )
+        ).alias("__transfers")
+    )
+    # inner: a liquidity transaction with NO LP-token transfers produces no
+    # rows (reference :165-167 get -> []); left on stats is only belt and
+    # braces (tr ⊇ tr_lp's transactions by construction)
+    joined = (
+        liq_agg.join(tr_agg, on="transaction_hash", how="inner")
+        .join(stats, on="transaction_hash", how="left")
+        .fillna({"__tx_transfer_count": 0})
+    )
+    return joined.mapInPandas(_map_fn, LIQUIDITY_EVENT_DDL)

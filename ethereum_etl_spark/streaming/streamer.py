@@ -976,23 +976,25 @@ class ChainStreamer:
 
                 add("price_marks_latest", None, df_fn=_marks_latest)
 
-            def _build_enriched_trades():
-                # J7 in the loop (enrich_dex_trades_job.py:38-108): persist
-                # the enriched+priced+owned shape, not the raw assembly.
-                # Pricing input = this batch's marks ∪ the pre-batch latest
-                # mark per token (price_marks_latest — merged AFTER this
-                # table by DEPS, so the read is the pre-batch head even on
-                # crash replay). For every probe in this batch the as-of
-                # equals a full-history scan: all earlier marks are
-                # dominated by their token's latest. r4: reading the
-                # accumulated price_marks table here grew linearly with
-                # chain history per cycle (quadratic replay — profiled as
-                # the dominant tail cost of the dex-inclusive bench).
+            def _build_priced_trades():
+                # J7 in the loop (enrich_dex_trades_job.py:38-108), stage 1:
+                # the priced (pre-owner) shape — shared by the dex_trades
+                # merge AND the liquidity_events merge (which needs prices
+                # but not owner attribution, so it must not re-execute the
+                # owner joins). Pricing input = this batch's marks ∪ the
+                # pre-batch latest mark per token (price_marks_latest —
+                # merged AFTER this table by DEPS, so the read is the
+                # pre-batch head even on crash replay). For every probe in
+                # this batch the as-of equals a full-history scan: all
+                # earlier marks are dominated by their token's latest. r4:
+                # reading the accumulated price_marks table here grew
+                # linearly with chain history per cycle (quadratic replay —
+                # profiled as the dominant tail cost of the dex-inclusive
+                # bench).
                 raw = _raw_trades()
                 if not stables:
                     return raw
                 from ethereum_etl_spark.operators.pricing import enrich_trades_usd
-                from ethereum_etl_spark.operators.swap_owner import detect_swap_owners
 
                 carry = self.tables["price_marks_latest"].read().select(
                     "token_address", "block_number", "log_index", "price_stable"
@@ -1000,9 +1002,21 @@ class ChainStreamer:
                 priced = enrich_trades_usd(
                     raw, stables, marks=_marks_frame().unionByName(carry)
                 )
-                # same plan-cut rationale as _raw_trades: owner detection
-                # joins this frame several times
-                priced = priced.localCheckpoint(eager=True)
+                # plan cut (same rationale as _raw_trades): owner detection
+                # and the liquidity fan-out each join this frame several
+                # times
+                return priced.localCheckpoint(eager=True)
+
+            def _priced_trades():
+                return _dex_memo("priced_trades", _build_priced_trades)
+
+            def _build_enriched_trades():
+                # stage 2: + owner attribution (persisted dex_trades shape)
+                priced = _priced_trades()
+                if not stables:
+                    return priced
+                from ethereum_etl_spark.operators.swap_owner import detect_swap_owners
+
                 if batch_transfers is not None:
                     _, _, pools_dim = _dims()
                     # owner detection must exclude EVERY known pool wallet,
@@ -1070,7 +1084,7 @@ class ChainStreamer:
                         enrich_liquidity_events,
                     )
 
-                    trades_f = _enriched_trades()
+                    trades_f = _priced_trades()
                     pools_dim = self._dim_snapshot(
                         "dex_pools", ["address", "lp_token_addresses"]
                     )
