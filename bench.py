@@ -172,7 +172,10 @@ def main():
 
     from ethereum_etl_spark.session import get_spark
 
-    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    # 2x cores: one task-wave per stage cannot overlap the concurrent
+    # per-entity merges; two waves can (measured 2x on the whole-WAL replay
+    # at local[32] — see scripts/bench_scaling.py)
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     times = run_queries(spark, sf_dir)

@@ -27,11 +27,17 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
+        # default 2x cores in local mode: one task-wave per stage cannot
+        # overlap the engine's concurrent per-entity merge jobs; two waves
+        # can (measured 2x on the whole-WAL replay at local[32] — see
+        # scripts/bench_scaling.py). On a real cluster leave ~2-3x total
+        # executor cores (or rely on AQE advisory sizes).
         n = cpus if master.startswith("local[") else "200"
         try:
-            shuffle_partitions = int(master[6:-1]) if master[6:-1].isdigit() else int(n)
+            cores = int(master[6:-1]) if master[6:-1].isdigit() else int(n)
+            shuffle_partitions = 2 * cores if master.startswith("local[") else cores
         except ValueError:
-            shuffle_partitions = 32
+            shuffle_partitions = 64
 
     b = (
         SparkSession.builder.appName(app_name)

@@ -27,7 +27,7 @@ sys.path.insert(0, {repo!r})
 from ethereum_etl_spark.session import get_spark
 import bench
 bench.BENCH_BLOCKS = {blocks}
-spark = get_spark("mj{i}", master="local[{cores}]", shuffle_partitions={cores})
+spark = get_spark("mj{i}", master="local[{cores}]", shuffle_partitions={sp})
 spark.sparkContext.setLogLevel("ERROR")
 res = bench.run_replay(spark, {wal!r}, "/tmp/mj_wh_{i}",
                        batch_seq={batch}, warmup=True)
@@ -47,7 +47,8 @@ def main():
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", RUNNER.format(
-                repo=repo, blocks=blocks, i=i, cores=cores, wal=wal, batch=batch
+                repo=repo, blocks=blocks, i=i, cores=cores, sp=2 * cores,
+                wal=wal, batch=batch
             )],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         )

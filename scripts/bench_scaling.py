@@ -29,7 +29,11 @@ sys.path.insert(0, {repo!r})
 from ethereum_etl_spark.session import get_spark
 import bench
 bench.BENCH_BLOCKS = {blocks}
-spark = get_spark("scale-{cpus}", master="local[{cpus}]", shuffle_partitions={cpus})
+# 2x cores (measured: local[32] at 32 shuffle partitions leaves the
+# concurrent per-entity merges straggler-bound — 33.2k events/s; at 64
+# partitions the same replay does 65.9k. One task-wave per stage cannot
+# overlap merges; two waves can.)
+spark = get_spark("scale-{cpus}", master="local[{cpus}]", shuffle_partitions={sp})
 spark.sparkContext.setLogLevel("ERROR")
 res = bench.run_replay(spark, {wal!r}, "/tmp/scale_wh_{cpus}",
                        batch_seq={batch}, warmup=True)
@@ -38,7 +42,9 @@ print("RESULT:" + json.dumps(res))
 
 
 def run_at(cpus: int, repo: str, wal: str, blocks: int, batch: int) -> dict:
-    code = RUNNER.format(repo=repo, cpus=cpus, wal=wal, blocks=blocks, batch=batch)
+    code = RUNNER.format(
+        repo=repo, cpus=cpus, sp=2 * cpus, wal=wal, blocks=blocks, batch=batch
+    )
     env = dict(os.environ)
     # every level gets the SAME fixed heap (default 32g = 1 GiB/core at the
     # widest level — the realistic executor memory/core ratio). The whole-WAL
