@@ -1401,7 +1401,14 @@ def q41(spark, sf):
     from ethereum_etl_spark.operators.dex import FACTORY_ABIS, discover_pools
     from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
 
-    PAIR, POOL = FACTORY_ABIS[0], FACTORY_ABIS[1]
+    PAIR = next(
+        a for a in FACTORY_ABIS
+        if a.namespace == "uniswap_v2" and a.name == "PairCreated"
+    )
+    POOL = next(
+        a for a in FACTORY_ABIS
+        if a.namespace == "uniswap_v3" and a.name == "PoolCreated"
+    )
     s = ld(spark, sf, "supplier").select(F.col("s_suppkey").alias("k"))
 
     def aw(c):  # address word from key-derived address
