@@ -1027,6 +1027,126 @@ def extract_dex_trades_curve(
     )
 
 
+# Saddle stable-swap pools (reference service/dex/saddle/saddle.py:77-129,
+# SaddlePoolV2.json — shipped factory-commented, dex_client_factory.py:55):
+# curve-shaped coin-index pools with their OWN event signatures —
+# TokenSwap/TokenSwapUnderlying carry (tokensSold, tokensBought, soldId,
+# boughtId) with UNSIGNED uint128 indices, unlike curve's
+# (sold_id, tokens_sold, bought_id, tokens_bought) int128 layout. Ellipsis
+# (service/dex/ellipsis/) is a CurveAmm subclass with byte-identical events
+# — it needs no ABI of its own, only a `factory_amm`/pool-dim label.
+SADDLE_ABIS = [
+    EventAbi(
+        name="TokenSwap",
+        inputs=[
+            {"name": "buyer", "type": "address", "indexed": True},
+            {"name": "tokensSold", "type": "uint256", "indexed": False},
+            {"name": "tokensBought", "type": "uint256", "indexed": False},
+            {"name": "soldId", "type": "uint128", "indexed": False},
+            {"name": "boughtId", "type": "uint128", "indexed": False},
+        ],
+        namespace="saddle",
+        contract_name="pool",
+    ),
+    EventAbi(
+        name="TokenSwapUnderlying",
+        inputs=[
+            {"name": "buyer", "type": "address", "indexed": True},
+            {"name": "tokensSold", "type": "uint256", "indexed": False},
+            {"name": "tokensBought", "type": "uint256", "indexed": False},
+            {"name": "soldId", "type": "uint128", "indexed": False},
+            {"name": "boughtId", "type": "uint128", "indexed": False},
+        ],
+        namespace="saddle",
+        contract_name="pool",
+    ),
+]
+
+
+def extract_dex_trades_saddle(
+    parsed_logs: DataFrame, pools: DataFrame, tokens: DataFrame
+) -> DataFrame:
+    """Saddle TokenSwap / TokenSwapUnderlying → dex_trades rows
+    (saddle.py:87-105 resolve_receipt_log swap branches): curve semantics —
+    tokens = [coins[soldId], coins[boughtId]] against the pool's coin array
+    (the underlying array for TokenSwapUnderlying when set), amounts =
+    [tokensSold/10^d_i, -tokensBought/10^d_j], ratio prices, zero reserves
+    (the reference's get_pool_finances RPC fallback). Out-of-range indices
+    drop the row, mirroring the resolve-failure skip."""
+    pool_cols = [
+        F.col("address").alias("contract_address"),
+        "factory_address",
+        "token_addresses",
+    ]
+    has_underlying = "underlying_token_addresses" in pools.columns
+    if has_underlying:
+        pool_cols.append("underlying_token_addresses")
+    if "amm" in pools.columns:
+        pool_cols.append(F.col("amm").alias("__pool_amm"))
+    p = F.broadcast(pools.select(*pool_cols))
+    ev = parsed_logs.filter(
+        F.array_contains(F.col("namespace"), "saddle")
+        & F.col("event_name").isin("TokenSwap", "TokenSwapUnderlying")
+    ).join(p, on="contract_address", how="inner")
+    if not has_underlying:
+        ev = ev.withColumn(
+            "underlying_token_addresses", F.lit(None).cast("array<string>")
+        )
+    coins = F.when(
+        (F.col("event_name") == "TokenSwapUnderlying")
+        & F.col("underlying_token_addresses").isNotNull()
+        & (F.size("underlying_token_addresses") > 0),
+        F.col("underlying_token_addresses"),
+    ).otherwise(F.col("token_addresses"))
+    i = F.col("parsed_event")["soldId"].try_cast("int")
+    j = F.col("parsed_event")["boughtId"].try_cast("int")
+    ev = (
+        ev.withColumn("__coins", coins)
+        .withColumn("__ti", F.when((i >= 0) & (i < F.size("__coins")), F.get("__coins", i)))
+        .withColumn("__tj", F.when((j >= 0) & (j < F.size("__coins")), F.get("__coins", j)))
+        .filter(F.col("__ti").isNotNull() & F.col("__tj").isNotNull())
+    )
+    tok = tokens.select("address", "decimals")
+    ev = (
+        ev.join(
+            F.broadcast(tok.select(F.col("address").alias("__ti"), F.col("decimals").alias("__di"))),
+            on="__ti", how="left",
+        )
+        .join(
+            F.broadcast(tok.select(F.col("address").alias("__tj"), F.col("decimals").alias("__dj"))),
+            on="__tj", how="left",
+        )
+        .withColumn(
+            "__a0",
+            _pe("tokensSold") / F.pow(F.lit(10.0), F.coalesce("__di", F.lit(18))),
+        )
+        .withColumn(
+            "__a1",
+            -_pe("tokensBought") / F.pow(F.lit(10.0), F.coalesce("__dj", F.lit(18))),
+        )
+    )
+    p0 = F.when(F.col("__a0") != 0, F.abs(F.col("__a1") / F.col("__a0"))).otherwise(F.lit(0.0))
+    p1 = F.when(F.col("__a1") != 0, F.abs(F.col("__a0") / F.col("__a1"))).otherwise(F.lit(0.0))
+    return ev.select(
+        F.array(F.col("__a0"), F.col("__a1")).alias("token_amounts"),
+        F.col("contract_address").alias("pool_address"),
+        "transaction_hash",
+        "log_index",
+        "block_number",
+        F.lit("swap").alias("event_type"),
+        F.array(F.lit(0.0), F.lit(0.0)).alias("token_reserves"),
+        F.array(p0, p1).alias("token_prices"),
+        F.array(F.col("__ti"), F.col("__tj")).alias("token_addresses"),
+        "factory_address",
+        F.col("parsed_event")["buyer"].alias("wallet_address"),
+        (
+            F.coalesce(F.col("__pool_amm"), F.lit("saddle"))
+            if "amm" in pools.columns
+            else F.lit("saddle")
+        ).alias("amm"),
+    )
+
+
 # DODO v1 pools (reference service/dex/dodo/contracts_v1.py:19-31,195-214):
 # the pool holds an ordered [base, quote] pair and swaps are expressed as
 # buy/sell of the BASE token rather than in/out amounts.

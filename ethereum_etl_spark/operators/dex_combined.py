@@ -51,6 +51,7 @@ from ethereum_etl_spark.operators.dex import (
     INFINITE_PRICE_THRESHOLD,
     MESHSWAP_ABIS,
     ONE_INCH_ABIS,
+    SADDLE_ABIS,
     SUSHI_BENTO_ABIS,
     TRADERJOE_ABIS,
     UNISWAP_V2_ABIS,
@@ -71,6 +72,7 @@ FAMILY_ABIS = {
     "uniswap_v3": UNISWAP_V3_ABIS,
     "balancer_v2": BALANCER_V2_ABIS,
     "curve": CURVE_ABIS,
+    "saddle": SADDLE_ABIS,
     "dodo": DODO_ABIS,
     "dodo_v2": DODO_V2_ABIS,
     "traderjoe_v2_1": TRADERJOE_ABIS,
@@ -92,6 +94,7 @@ FAMILY_EVENTS: dict[str, tuple[str, ...]] = {
     "uniswap_v3": ("Swap", "Mint", "Burn", "Collect"),
     "balancer_v2": ("Swap",),
     "curve": ("TokenExchange", "TokenExchangeUnderlying"),
+    "saddle": ("TokenSwap", "TokenSwapUnderlying"),
     "dodo": ("BuyBaseToken", "SellBaseToken"),
     "dodo_v2": ("DODOSwap",),
     "traderjoe_v2_1": ("Swap", "DepositedToBins", "WithdrawnFromBins"),
@@ -197,19 +200,23 @@ def extract_dex_trades_combined(
     t1p = F.element_at("__ptoks", 2)
     leg_a = t0p
     leg_b = t1p
-    if "curve" in fams:
+    # coin-index families (curve + saddle): legs resolve by event coin index
+    # into the pool's coin array (underlying for the *Underlying variants)
+    _COIN_IDX = {"curve": ("sold_id", "bought_id"), "saddle": ("soldId", "boughtId")}
+    coin_fams = [f for f in ("curve", "saddle") if f in fams]
+    for cf in coin_fams:
         coins = F.when(
-            (F.col("event_name") == "TokenExchangeUnderlying")
+            F.col("event_name").isin("TokenExchangeUnderlying", "TokenSwapUnderlying")
             & F.col("__punder").isNotNull()
             & (F.size("__punder") > 0),
             F.col("__punder"),
         ).otherwise(F.col("__ptoks"))
-        ci = pe["sold_id"].try_cast("int")
-        cj = pe["bought_id"].try_cast("int")
-        curve_ta = F.when((ci >= 0) & (ci < F.size(coins)), F.get(coins, ci))
-        curve_tb = F.when((cj >= 0) & (cj < F.size(coins)), F.get(coins, cj))
-        leg_a = F.when(fam == "curve", curve_ta).otherwise(leg_a)
-        leg_b = F.when(fam == "curve", curve_tb).otherwise(leg_b)
+        ci = pe[_COIN_IDX[cf][0]].try_cast("int")
+        cj = pe[_COIN_IDX[cf][1]].try_cast("int")
+        cf_ta = F.when((ci >= 0) & (ci < F.size(coins)), F.get(coins, ci))
+        cf_tb = F.when((cj >= 0) & (cj < F.size(coins)), F.get(coins, cj))
+        leg_a = F.when(fam == cf, cf_ta).otherwise(leg_a)
+        leg_b = F.when(fam == cf, cf_tb).otherwise(leg_b)
     if "balancer_v2" in fams:
         leg_a = F.when(fam == "balancer_v2", F.lower(pe["tokenIn"])).otherwise(leg_a)
         leg_b = F.when(fam == "balancer_v2", F.lower(pe["tokenOut"])).otherwise(leg_b)
@@ -220,10 +227,10 @@ def extract_dex_trades_combined(
         leg_a = F.when(fam == "carbondefi", F.lower(pe["sourceToken"])).otherwise(leg_a)
         leg_b = F.when(fam == "carbondefi", F.lower(pe["targetToken"])).otherwise(leg_b)
     ev = ev.withColumns({"__t0": leg_a, "__t1": leg_b})
-    if "curve" in fams:
-        # curve's out-of-range coin index → resolve-failure skip
+    if coin_fams:
+        # out-of-range coin index → resolve-failure skip
         ev = ev.filter(
-            (fam != "curve")
+            ~fam.isin(*coin_fams)
             | (F.col("__t0").isNotNull() & F.col("__t1").isNotNull())
         )
 
@@ -363,6 +370,7 @@ def extract_dex_trades_combined(
         ("uniswap_v3", _pe("amount0") / s0),
         ("balancer_v2", _pe("amountIn") / s0),
         ("curve", _pe("tokens_sold") / s0),
+        ("saddle", _pe("tokensSold") / s0),
         ("dodo", (F.when(dodo_buy, -_pe("receiveBase")).otherwise(_pe("payBase"))) / s0),
         ("dodo_v2", (F.when(dv2_from0, _pe("fromAmount")).otherwise(-_pe("toAmount"))) / s0),
         ("traderjoe_v2_1", tj_a0 / s0),
@@ -383,6 +391,7 @@ def extract_dex_trades_combined(
         ("uniswap_v3", _pe("amount1") / s1),
         ("balancer_v2", -_pe("amountOut") / s1),
         ("curve", -_pe("tokens_bought") / s1),
+        ("saddle", -_pe("tokensBought") / s1),
         ("dodo", (F.when(dodo_buy, _pe("payQuote")).otherwise(-_pe("receiveQuote"))) / s1),
         ("dodo_v2", (F.when(dv2_from0, -_pe("toAmount")).otherwise(_pe("fromAmount"))) / s1),
         ("traderjoe_v2_1", tj_a1 / s1),
@@ -465,6 +474,7 @@ def extract_dex_trades_combined(
         ("uniswap_v3", F.coalesce(pe["recipient"], pe["owner"], pe["sender"])),
         ("balancer_v2", F.lit(None).cast("string")),
         ("curve", pe["buyer"]),
+        ("saddle", pe["buyer"]),
         ("dodo", F.coalesce(pe["buyer"], pe["seller"])),
         ("dodo_v2", F.lower(pe["trader"])),
         ("traderjoe_v2_1", F.coalesce(pe["to"], pe["sender"])),
@@ -483,6 +493,7 @@ def extract_dex_trades_combined(
         ("uniswap_v2", F.col("__ptoks")),
         ("uniswap_v3", F.col("__ptoks")),
         ("curve", F.array(F.col("__t0"), F.col("__t1"))),
+        ("saddle", F.array(F.col("__t0"), F.col("__t1"))),
         ("balancer_v2", F.array(F.col("__t0"), F.col("__t1"))),
         ("wombat", F.array(F.col("__t0"), F.col("__t1"))),
         ("carbondefi", F.array(F.col("__t0"), F.col("__t1"))),

@@ -3616,3 +3616,121 @@ def q62(spark, sf):
         F.round(F.element_at("token_reserves", 2), 6).alias("reserve1"),
         F.round(F.element_at("token_prices", 1), 6).alias("price0"),
     )
+
+
+@_q(
+    "q63_saddle_trades",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, md5(CAST(o_orderkey AS VARCHAR)) AS tx,
+             o_orderkey % 20 AS p, o_orderkey % 3 AS i, (o_orderkey + 1) % 3 AS j,
+             CAST(o_custkey AS DOUBLE) AS sold,
+             CAST(floor(o_totalprice) AS BIGINT)::DOUBLE AS bought,
+             o_orderkey % 2 AS und
+      FROM orders WHERE o_orderkey <= 4096),
+    resolved AS (
+      SELECT k, tx, '0x' || lpad(lower(to_hex(700 + p)), 40, '0') AS pool_address,
+             CASE WHEN und = 1
+                  THEN '0x' || lpad(lower(to_hex(1000 + 3 * p + i)), 40, '0')
+                  ELSE '0x' || lpad(lower(to_hex(10 + 3 * p + i)), 40, '0') END AS token0,
+             CASE WHEN und = 1
+                  THEN '0x' || lpad(lower(to_hex(1000 + 3 * p + j)), 40, '0')
+                  ELSE '0x' || lpad(lower(to_hex(10 + 3 * p + j)), 40, '0') END AS token1,
+             sold / power(10, CASE WHEN und = 1 THEN (3 * p + i) % 3
+                                   ELSE ((3 * p + i) % 2) * 3 END) AS a0,
+             -bought / power(10, CASE WHEN und = 1 THEN (3 * p + j) % 3
+                                      ELSE ((3 * p + j) % 2) * 3 END) AS a1
+      FROM base)
+    SELECT pool_address, tx AS transaction_hash, k AS block_number,
+           'swap' AS event_type, 'saddle' AS amm, token0, token1,
+           round(a0, 6) AS amount0, round(a1, 6) + 0.0 AS amount1,
+           CASE WHEN a0 = 0 THEN 0.0
+                ELSE CAST(round(CAST(abs(a1 / a0) AS DECIMAL(38,12)), 6) AS DOUBLE) END AS price0,
+           CASE WHEN a1 = 0 THEN 0.0
+                ELSE CAST(round(CAST(abs(a0 / a1) AS DECIMAL(38,12)), 6) AS DOUBLE) END AS price1
+    FROM resolved
+    """,
+)
+def q63(spark, sf):
+    """Saddle coin-index swaps (reference service/dex/saddle/saddle.py:87-105,
+    SaddlePoolV2.json — curve semantics under saddle's OWN event layout:
+    amounts-first words, unsigned uint128 indices): TokenSwap (even keys)
+    resolves soldId/boughtId against the pool's 3-coin array,
+    TokenSwapUnderlying (odd keys) against its underlying coin array. The
+    oracle replays the index → token → scalar resolution arithmetically —
+    same algebra as q48's, shifted to saddle's word order and pool ids."""
+    from ethereum_etl_spark.operators.dex import (
+        SADDLE_ABIS,
+        TOKEN_DIM_DDL,
+        extract_dex_trades_saddle,
+    )
+    from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
+
+    SWAP, SWAP_U = SADDLE_ABIS
+    o = ld(spark, sf, "orders").filter("o_orderkey <= 4096")
+    k = F.col("o_orderkey")
+    pool = F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(F.lit(700) + k % 20)), 40, "0"))
+    wallet_w = F.lpad(F.lit("ab" * 20), 64, "0")
+
+    def w64(c):
+        return F.lpad(F.lower(F.hex(c.cast("long"))), 64, "0")
+
+    logs = o.select(
+        F.lit(1).alias("log_index"),
+        F.md5(k.cast("string")).alias("transaction_hash"),
+        F.lit(0).alias("transaction_index"),
+        F.lit("0xb").alias("block_hash"),
+        k.alias("block_number"),
+        pool.alias("address"),
+        F.concat(
+            F.lit("0x"),
+            w64(F.col("o_custkey")),                     # tokensSold
+            w64(F.floor("o_totalprice")),                # tokensBought
+            w64(k % 3),                                  # soldId
+            w64((k + 1) % 3),                            # boughtId
+        ).alias("data"),
+        F.array(
+            F.when(k % 2 == 1, F.lit(SWAP_U.topic0)).otherwise(F.lit(SWAP.topic0)),
+            F.concat(F.lit("0x"), wallet_w),
+        ).alias("topics"),
+    )
+    inv = build_inventory(spark, SADDLE_ABIS)
+    parsed = parse_logs(logs, inv, SADDLE_ABIS)
+
+    def addr(n):
+        return f"0x{n:040x}"
+
+    pools = spark.createDataFrame(
+        [
+            (addr(700 + p), "0xfac",
+             [addr(10 + 3 * p + c) for c in range(3)], 0, [],
+             [addr(1000 + 3 * p + c) for c in range(3)])
+            for p in range(20)
+        ],
+        "address string, factory_address string, token_addresses array<string>,"
+        "fee int, lp_token_addresses array<string>,"
+        "underlying_token_addresses array<string>",
+    )
+    tokens = spark.createDataFrame(
+        [(addr(10 + b), f"C{b}", (b % 2) * 3) for b in range(60)]
+        + [(addr(1000 + b), f"U{b}", b % 3) for b in range(60)],
+        TOKEN_DIM_DDL,
+    )
+    t = extract_dex_trades_saddle(parsed, pools, tokens)
+    return t.select(
+        "pool_address",
+        "transaction_hash",
+        "block_number",
+        "event_type",
+        "amm",
+        F.element_at("token_addresses", 1).alias("token0"),
+        F.element_at("token_addresses", 2).alias("token1"),
+        F.round(F.element_at("token_amounts", 1), 6).alias("amount0"),
+        (F.round(F.element_at("token_amounts", 2), 6) + F.lit(0.0)).alias("amount1"),
+        F.round(
+            F.element_at("token_prices", 1).cast("decimal(38,12)"), 6
+        ).cast("double").alias("price0"),
+        F.round(
+            F.element_at("token_prices", 2).cast("decimal(38,12)"), 6
+        ).cast("double").alias("price1"),
+    )

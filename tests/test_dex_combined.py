@@ -28,6 +28,7 @@ from ethereum_etl_spark.operators.dex import (
     FJORD_ABIS,
     MESHSWAP_ABIS,
     ONE_INCH_ABIS,
+    SADDLE_ABIS,
     SUSHI_BENTO_ABIS,
     TOKEN_DIM_DDL,
     TRADERJOE_ABIS,
@@ -45,6 +46,7 @@ from ethereum_etl_spark.operators.dex import (
     extract_dex_trades_fjord,
     extract_dex_trades_meshswap,
     extract_dex_trades_one_inch,
+    extract_dex_trades_saddle,
     extract_dex_trades_traderjoe,
     extract_dex_trades_v3,
     extract_dex_trades_wombat,
@@ -86,7 +88,7 @@ ALL_ABIS = (
     UNISWAP_V2_ABIS + UNISWAP_V3_ABIS + BALANCER_V2_ABIS + CURVE_ABIS
     + DODO_ABIS + DODO_V2_ABIS + TRADERJOE_ABIS + ONE_INCH_ABIS
     + SUSHI_BENTO_ABIS + WOMBAT_ABIS + CARBON_ABIS + FJORD_ABIS
-    + MESHSWAP_ABIS + BANCOR_V2_ABIS
+    + MESHSWAP_ABIS + BANCOR_V2_ABIS + SADDLE_ABIS
 )
 
 W = lambda v: f"{v & ((1 << 256) - 1):064x}"  # noqa: E731 — two's complement
@@ -105,6 +107,7 @@ P_V2, P_V3, P_CRV, P_DODO, P_DV2 = ADDR("1"), ADDR("2"), ADDR("3"), ADDR("4"), A
 P_TJ, P_OI, P_BEN, P_FJ, P_META = ADDR("6"), ADDR("7"), ADDR("8"), ADDR("9"), ADDR("31")
 P_MESH = ADDR("32")
 P_BC, P_PLAT = ADDR("b3"), ADDR("34")
+P_SAD, P_SADU = ADDR("35"), ADDR("36")
 VAULT, WOM, CTRL, UNKNOWN = ADDR("bb"), ADDR("cc"), ADDR("dd"), ADDR("ff")
 
 
@@ -242,6 +245,16 @@ def _fixture_logs(spark):
         [W(int(WALLET2, 16)), W(int(TA, 16)), W(500_000), W(int(TB, 16)),
          W(2 * 10**17), W(333)])
 
+    # saddle: TokenSwap i=0 j=2 on a 3-coin pool (TC decimals missing ->
+    # 18 fallback); TokenSwapUnderlying resolves via the underlying array;
+    # out-of-range index -> dropped by both paths
+    log(1, "0xsd", P_SAD, SADDLE_ABIS[0].topic0, [TOPIC(int(WALLET1, 16))],
+        [W(2_200_000), W(3 * 10**18), W(0), W(2)])
+    log(1, "0xsdu", P_SADU, SADDLE_ABIS[1].topic0, [TOPIC(int(WALLET2, 16))],
+        [W(7 * 10**17), W(2_600_000), W(1), W(0)])
+    log(2, "0xsd", P_SAD, SADDLE_ABIS[0].topic0, [TOPIC(int(WALLET1, 16))],
+        [W(1), W(1), W(9), W(0)])
+
     # fjord: Buy + Sell
     log(1, "0xfj", P_FJ, FJORD_ABIS[0].topic0, [TOPIC(int(WALLET1, 16))],
         [W(2_000_000), W(10**18), W(5)])
@@ -271,6 +284,8 @@ def _dims(spark):
             mk(WOM, [TA, TB]),
             mk(P_PLAT, [TA, TB], amm="platypus"),
             mk(P_BC, [TA, TB]),
+            mk(P_SAD, [TA, TB, TC]),
+            mk(P_SADU, [TA, TB], amm="saddle", under=[TB, TU]),
         ],
         DISCOVERED_POOL_DDL,
     )
@@ -305,6 +320,7 @@ def _union_of_individual(parsed, pools, tokens, pool_balances=None):
         extract_dex_trades_meshswap(parsed, pools, tokens),
         extract_dex_trades_wombat_liquidity(parsed, pools, tokens),
         extract_dex_trades_bancor_v2(parsed, pools, tokens),
+        extract_dex_trades_saddle(parsed, pools, tokens),
     ]
     out = parts[0].select(*shape)
     for p in parts[1:]:
@@ -346,8 +362,8 @@ def test_combined_equals_union_all_families(spark, parsed):
     combined = extract_dex_trades_combined(parsed, pools, tokens)
     union = _union_of_individual(parsed, pools, tokens)
     rows = combined.collect()
-    assert len(rows) == 31  # every family present, drops applied
-    assert len({r["amm"] for r in rows}) == 15  # incl. platypus + bancor_v2
+    assert len(rows) == 33  # every family present, drops applied
+    assert len({r["amm"] for r in rows}) == 16  # incl. platypus + bancor_v2 + saddle
     _assert_equivalent(combined, union, got=rows)
 
 

@@ -121,3 +121,45 @@ def test_family_discovery_and_assembly(spark):
         wal.unpersist()
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_curve_fork_labels_ellipsis_saddle(spark):
+    """Ellipsis (and saddle registry deployments that reuse curve-shaped
+    factory events) are curve forks the reference ships as separate,
+    factory-commented clients (service/dex/ellipsis/ellipsis.py CurveAmm
+    subclass, service/dex/saddle/). They carry no decode of their own here
+    beyond SADDLE_ABIS — discovery labels their pools through the
+    ``factory_amm`` map and trade attribution inherits the pool's label,
+    exactly like the v2/v3 fork families."""
+    wh = tempfile.mkdtemp(prefix="dex_ellipsis_wh_")
+    try:
+        spec = ChainWalSpec(
+            start_block=0, end_block=39, dex_pools=2, dex_families=True,
+        )
+        wal = generate_chain_wal(spark, spec).cache()
+        cfg = StreamerConfig(
+            warehouse=wh, batch_size=200, partition_size=16,
+            entity_types=ENTITIES,
+            factory_amm={
+                _addr("curvefactory", 0): "ellipsis",
+                _addr("v3factory", 0): "saddle",  # any factory row can map
+            },
+        )
+        s = ChainStreamer(spark, cfg)
+        s.run(WalTailer(wal, batch_size=200))
+
+        pools = s.tables["dex_pools"].read()
+        labels = {r["amm"] for r in pools.select("amm").distinct().collect()}
+        assert "ellipsis" in labels and "saddle" in labels, labels
+        # curve-event trades on the ellipsis-labeled pools attribute the
+        # fork name (pool-dim indirection, not the hardcoded namespace)
+        trades = s.tables["dex_trades"].read()
+        ell = trades.filter(F.col("amm") == "ellipsis")
+        assert ell.count() > 0
+        assert {r["address"] for r in pools.filter(F.col("amm") == "ellipsis").collect()} == {
+            r["pool_address"] for r in ell.select("pool_address").distinct().collect()
+        }
+        assert trades.filter(F.col("amm") == "curve").count() == 0
+        wal.unpersist()
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
