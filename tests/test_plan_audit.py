@@ -80,3 +80,35 @@ def test_decode_entity_whole_stage_codegen(spark):
     assert "BatchEvalPython" not in plan
     # '*(' is the whole-stage-codegen stage marker in the simple plan string
     assert "*(" in plan
+
+
+def test_bucketed_asof_window_input_is_batch_bounded(spark):
+    """ADVICE r4 / VERDICT r4 weak #4: the as-of union-window must NOT feed
+    the full accumulated marks history into the per-(key, bucket) shuffle
+    each cycle. Two left-semi joins bound it — marks to the PROBED KEYS
+    (tails/carry path) and to the probed (key, bucket) pairs (in-bucket
+    union) — so a batch probing one token in one bucket pays for that
+    token's buckets only, not O(total chain history). Pinned at the plan
+    level: both semi joins must survive between the marks input and the
+    window, and the as-of result must still see the cross-bucket carry."""
+    from ethereum_etl_spark.operators.asof import bucketed_asof
+
+    # marks: 50 tokens x 40 buckets of history; probes: ONE token, ONE bucket
+    mk = spark.range(2000).selectExpr(
+        "concat('0x', lpad(lower(hex(id % 50)), 4, '0')) AS token_address",
+        "CAST(id DIV 50 AS LONG) * 100 AS block_number",
+        "CAST(1 AS INT) AS log_index",
+        "CAST(id AS DOUBLE) AS __mark",
+        "CAST(0 AS INT) AS __probe",
+    )
+    pr = spark.createDataFrame(
+        [("0x0007", 3950, 5, None, 1)],
+        "token_address string, block_number long, log_index int,"
+        "__mark double, __probe int",
+    )
+    out = bucketed_asof(mk, pr, "token_address", 1000)
+    plan = _plan(out)
+    assert plan.count("LeftSemi") >= 2, plan[:3000]
+    rows = out.collect()
+    # latest mark for token 7 at or before block 3950: id = 39*50+7 = 1957
+    assert len(rows) == 1 and rows[0]["__asof"] == 1957.0

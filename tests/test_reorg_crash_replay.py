@@ -79,3 +79,87 @@ def test_crash_between_merge_and_repair_then_head_advance(spark):
         wal.unpersist()
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_crash_before_dex_reprice_then_head_advance(spark):
+    """Same crash window, dex side (VERDICT r4 item 3): the streamer dies
+    AFTER the reorg batch's merges committed (price_marks repaired,
+    orphaned marks deleted) but BEFORE _reorg_fix_dex_prices re-enriched
+    the interim trades. The WAL head advances before restart. The replay
+    must still find the affected tokens — fork-mark rows plus the crashed
+    attempt's journaled orphan-mark tokens — and the final dex_trades /
+    liquidity_events must equal a from-scratch single-batch replay."""
+    import pyspark.sql.functions as F
+
+    from ethereum_etl_spark.sources.wal import DEX_STABLE
+
+    whA = tempfile.mkdtemp(prefix="dex_crash_a_")
+    whB = tempfile.mkdtemp(prefix="dex_crash_b_")
+    try:
+        spec = ChainWalSpec(
+            start_block=0, end_block=39, dex_pools=3, dex_families=True,
+            reorg_blocks=(8,), reorg_lag=400, fork_key_shift=11,
+        )
+        wal = generate_chain_wal(spark, spec).cache()
+        wal.count()
+        ents = (
+            "block", "transaction", "receipt", "log", "token",
+            "token_transfer", "geth_trace", "trace", "contract",
+            "token_balance", "dex_pool", "dex_trade", "liquidity_event",
+        )
+
+        def cfg(wh):
+            return StreamerConfig(
+                warehouse=wh, batch_size=250, partition_size=16,
+                entity_types=ents, stablecoins=(DEX_STABLE,),
+            )
+
+        def snap(s):
+            return sorted(
+                (r["block_number"], r["log_index"], r["pool_address"],
+                 r["amount_stable"], tuple(r["prices_stable"] or []))
+                for r in s.tables["dex_trades"].read().collect()
+            ) + sorted(
+                (r["block_number"], r["log_index"], r["wallet_address"],
+                 r["amount_stable"], tuple(r["prices_stable"] or []))
+                for r in s.tables["liquidity_events"].read().collect()
+            )
+
+        # truth: one batch, orphaned marks never reach the table
+        sA = ChainStreamer(spark, cfg(whA))
+        sA.run(WalTailer(wal, batch_size=10**6))
+        truth = snap(sA)
+
+        # phase A: stream up to just before the fork rows (seq of the
+        # re-emitted block 8 ≈ its arrival position near the WAL tail)
+        fork_seq = int(
+            wal.filter(F.col("op") == "reorg").agg(F.min("seq")).collect()[0][0]
+        )
+        sB = ChainStreamer(spark, cfg(whB))
+        wm = sB.run(WalTailer(wal.filter(F.col("seq") < fork_seq), batch_size=250))
+        assert wm > 0
+
+        # phase B: fork batch crashes between merges and the dex reprice
+        sB2 = ChainStreamer(spark, cfg(whB))
+
+        def boom(*a, **k):
+            raise RuntimeError("crash before dex reprice")
+
+        sB2._reorg_fix_dex_prices = boom
+        with pytest.raises(RuntimeError, match="crash before dex reprice"):
+            sB2.run(
+                WalTailer(
+                    wal.filter(F.col("seq") < fork_seq + 160), batch_size=10**6
+                )
+            )
+        assert sB2.watermarks.init_resume(0) == wm  # watermark held back
+
+        # phase C: restart against the FULL WAL (head advanced past the
+        # crashed attempt's range)
+        sB3 = ChainStreamer(spark, cfg(whB))
+        sB3.run(WalTailer(wal, batch_size=10**6))
+        assert snap(sB3) == truth
+        wal.unpersist()
+    finally:
+        shutil.rmtree(whA, ignore_errors=True)
+        shutil.rmtree(whB, ignore_errors=True)
