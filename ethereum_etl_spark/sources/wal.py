@@ -90,6 +90,15 @@ class ChainWalSpec:
     # factory-event pool DISCOVERY end-to-end in the streamer (VERDICT r4
     # item 1: no fabricated dims).
     dex_families: bool = False
+    # opt-in curve METApool traffic on top of dex_families: tx1 of each
+    # deploy block CREATEs a metapool contract and emits MetaPoolDeployed
+    # (coin = utok(n), base_pool = the SAME block's plain pool), then
+    # per-block TokenExchangeUnderlying swaps sell the underlying coin.
+    # Exercises metapool discovery (underlying = [coin] + base coins) AND
+    # the streamer's tok_probe underlying explode (ADVICE r3): the sold
+    # leg's decimals (utok = 9) resolve only if the token dim semi-join
+    # probes the pool's UNDERLYING addresses, not just its top-level pair.
+    dex_metapools: bool = False
 
 
 def _blocks_df(spark: SparkSession, spec: ChainWalSpec, fork_of: DataFrame | None = None):
@@ -281,6 +290,24 @@ def _geth_trace_df(spec: "ChainWalSpec", txs: DataFrame):
             & (F.col("transaction_index") == 0),
             curve_create,
         ).otherwise(tree)
+        if spec.dex_metapools:
+            # tx1 of each deploy block CREATEs the metapool contract the
+            # same tx's MetaPoolDeployed log omits
+            meta_create = F.to_json(
+                F.struct(
+                    F.lit("CREATE").alias("type"),
+                    F.col("from_address").alias("from"),
+                    _addr("curvemeta", F.col("block_number")).alias("to"),
+                    hx(F.lit(500000)).alias("gas"),
+                    hx(F.lit(350000)).alias("gasUsed"),
+                    F.lit(PLAIN_BYTECODE).alias("output"),
+                )
+            )
+            tree = F.when(
+                (F.col("block_number") < spec.dex_pools)
+                & (F.col("transaction_index") == 1),
+                meta_create,
+            ).otherwise(tree)
     return t.select(
         F.col("hash").alias("transaction_hash"),
         F.col("block_number"),
@@ -368,11 +395,18 @@ def _dex_log_df(
     )
     out = created.unionByName(sync).unionByName(swap)
     if spec.dex_families:
-        out = out.unionByName(_dex_family_log_df(spec, tx0, shift))
+        tx1 = txs.filter(F.col("transaction_index") == 1).select(
+            F.col("hash").alias("transaction_hash"),
+            F.col("block_hash"),
+            F.col("block_number"),
+        )
+        out = out.unionByName(_dex_family_log_df(spec, tx0, shift, tx1=tx1))
     return out
 
 
-def _dex_family_log_df(spec: "ChainWalSpec", tx0: DataFrame, shift: int = 0):
+def _dex_family_log_df(
+    spec: "ChainWalSpec", tx0: DataFrame, shift: int = 0, tx1: DataFrame | None = None
+):
     """Curve + DODO v1/v2 traffic (dex_families=True): factory deployment
     events at blocks [0, dex_pools), swaps per later block. Log indexes
     102-107 (the v2 traffic owns 100-101). The curve PlainPoolDeployed
@@ -512,13 +546,32 @@ def _dex_family_log_df(spec: "ChainWalSpec", tx0: DataFrame, shift: int = 0):
         [w64((n % 9 + 1) * 10**6)],
         [F.lit(TRANSFER_TOPIC), t1(wallet(F.lit(20))), t1(wallet(n % 19))],
     )))
-    return (
+    out = (
         curve_deploy.unionByName(curve_swap)
         .unionByName(dodo_birth).unionByName(dodo_v1_swap)
         .unionByName(dvm_new).unionByName(dodo_v2_swap)
         .unionByName(v3_deploy).unionByName(pool_fund).unionByName(v3_swap)
         .unionByName(v2_mint).unionByName(lp_direct).unionByName(lp_routed)
     )
+    if spec.dex_metapools and tx1 is not None:
+        META = next(a for a in FACTORY_ABIS if a.name == "MetaPoolDeployed")
+        EXCH_U = CURVE_ABIS[1]
+        meta_deploy = tx1.filter(n < spec.dex_pools).select(*row(
+            109, _addr("curvefactory", F.lit(0)),
+            [_addr_word(_addr("utok", n)), _addr_word(_addr("curvepool", n)),
+             w64(F.lit(100)), w64(F.lit(4000000)), _addr_word(wallet(F.lit(0)))],
+            [F.lit(META.topic0)],
+        ))
+        # underlying = [utok(pid)] + base coins [DEX_STABLE, dtok(pid)]:
+        # sold_id 0 = the 9-decimal underlying coin, bought_id 1 = stable
+        meta_swap = tx1.filter(n >= spec.dex_pools).select(*row(
+            110, _addr("curvemeta", pid),
+            [w64(F.lit(0)), w64((m % 50 + 1) * 1_000_000_000),
+             w64(F.lit(1)), w64((m % 40 + 1) * 1_000_000)],
+            [F.lit(EXCH_U.topic0), t1(wallet(n % 19))],
+        ))
+        out = out.unionByName(meta_deploy).unionByName(meta_swap)
+    return out
 
 
 def _token_df(spark: SparkSession, spec: "ChainWalSpec"):
@@ -553,7 +606,25 @@ def _token_df(spark: SparkSession, spec: "ChainWalSpec"):
         dk.alias("block_number"),
         _h("blk", F.lit(spec.seed), dk).alias("block_hash"),
     )
-    return base.unionByName(dex_tokens)
+    out = base.unionByName(dex_tokens)
+    if spec.dex_metapools:
+        u = spark.range(0, spec.dex_pools).withColumnRenamed("id", "k")
+        uk = F.col("k")
+        # the metapool underlying coin: 9 decimals, deliberately different
+        # from every pool-pair token so a tok_probe miss (18 fallback) is
+        # visible in the trade amounts
+        out = out.unionByName(
+            u.select(
+                _addr("utok", uk).alias("address"),
+                F.concat(F.lit("UT"), uk.cast("string")).alias("symbol"),
+                F.concat(F.lit("Under "), uk.cast("string")).alias("name"),
+                F.lit(9).cast("int").alias("decimals"),
+                F.lit(10**9).cast("string").alias("total_supply"),
+                uk.alias("block_number"),
+                _h("blk", F.lit(spec.seed), uk).alias("block_hash"),
+            )
+        )
+    return out
 
 
 def _envelope(

@@ -163,3 +163,63 @@ def test_curve_fork_labels_ellipsis_saddle(spark):
         wal.unpersist()
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_metapool_underlying_decimals_via_tok_probe(spark):
+    """ADVICE r3 / VERDICT r4 minor: the streamer's token-dim semi-join
+    (tok_probe) must explode the batch pools' UNDERLYING coin arrays, not
+    just their top-level pairs — otherwise a TokenExchangeUnderlying leg's
+    decimals silently fall back to 18. End-to-end: metapools discovered
+    from MetaPoolDeployed + same-tx CREATE, underlying = [coin] + base
+    coins, and the sold leg scales by the 9-decimal underlying token."""
+    wh = tempfile.mkdtemp(prefix="dex_meta_wh_")
+    try:
+        n_pools = 3
+        spec = ChainWalSpec(
+            start_block=0, end_block=39, dex_pools=n_pools,
+            dex_families=True, dex_metapools=True,
+        )
+        wal = generate_chain_wal(spark, spec).cache()
+        cfg = StreamerConfig(
+            warehouse=wh, batch_size=200, partition_size=16,
+            entity_types=ENTITIES,
+        )
+        s = ChainStreamer(spark, cfg)
+        s.run(WalTailer(wal, batch_size=200))
+
+        pools = s.tables["dex_pools"].read()
+        metas = {
+            r["address"]: r
+            for r in pools.filter(
+                F.col("underlying_token_addresses").isNotNull()
+            ).collect()
+        }
+        assert len(metas) == n_pools, sorted(metas)
+        for k in range(n_pools):
+            row = metas[_addr("curvemeta", k)]
+            assert row["underlying_token_addresses"] == [
+                _addr("utok", k), DEX_STABLE, _addr("dtok", k),
+            ], row
+            # metapool pairs [coin, base_pool]
+            assert row["token_addresses"] == [
+                _addr("utok", k), _addr("curvepool", k),
+            ]
+
+        trades = s.tables["dex_trades"].read().filter(
+            F.col("pool_address").startswith("0x")
+            & F.col("token_addresses")[0].isin(
+                *[_addr("utok", k) for k in range(n_pools)]
+            )
+        ).collect()
+        assert len(trades) == 40 - n_pools  # one underlying swap per active block
+        for r in trades:
+            b = r["block_number"]
+            # sold leg scaled by utok's 9 decimals (an 18-fallback would
+            # shrink it by 1e9), bought leg by the stable's 6
+            assert abs(r["token_amounts"][0] - (b % 50 + 1)) < 1e-9, r
+            assert abs(r["token_amounts"][1] + (b % 40 + 1)) < 1e-9, r
+            assert r["token_addresses"][1] == DEX_STABLE
+            assert r["amm"] == "curve"
+        wal.unpersist()
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -181,6 +181,14 @@ def test_dim_snapshot_cached_across_cycles(spark):
         d3 = s._dim_snapshot("dex_pools", ["address", "amm"])
         assert d3 is not d1 and d3.count() == 50
         assert s._dim_snapshot("dex_pools", ["address", "amm"]) is d3
+        # VERDICT r4 minor: the cache is keyed (table, cols) — a second call
+        # site with a different projection must NOT inherit the first's
+        d4 = s._dim_snapshot("dex_pools", ["address", "token_addresses"])
+        assert d4 is not d3
+        assert sorted(d4.columns) == ["address", "token_addresses"]
+        assert sorted(d3.columns) == ["address", "amm"]
+        assert s._dim_snapshot("dex_pools", ["address", "token_addresses"]) is d4
+        assert s._dim_snapshot("dex_pools", ["address", "amm"]) is d3
     finally:
         import shutil
 
