@@ -959,8 +959,12 @@ def q31(spark, sf):
 
 @_q("q32_media_features", None)
 def q32(spark, sf):
-    """Multimodal plumbing: binary payload → mapInPandas feature extraction
-    (decode stubbed; Spark-side schema/batching real). Rows-only check."""
+    """Multimodal decode: binary payload → mapInPandas feature extraction.
+    Image (REAL pure-stdlib PNG inflate+unfilter) and audio (REAL WAV/PCM)
+    decode with mean-luma/RMS features; video demux stays stubbed (no
+    pure-Python codec; env lacks ffmpeg). Rows-only check — the decode is
+    not SQL-expressible; exact-value coverage lives in tests/
+    test_multimodal.py against independent reference decodes."""
     media = synthesize_media(spark, n=200)
     return (
         extract_media_features(media)
@@ -969,6 +973,7 @@ def q32(spark, sf):
             F.count(F.lit(1)).alias("n"),
             F.sum("n_bytes").alias("total_bytes"),
             F.count("decoded_width").alias("n_decoded"),
+            F.round(F.sum("feature"), 6).alias("feature_sum"),
         )
     )
 
