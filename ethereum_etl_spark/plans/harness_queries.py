@@ -3739,3 +3739,20 @@ def q63(spark, sf):
             F.element_at("token_prices", 2).cast("decimal(38,12)"), 6
         ).cast("double").alias("price1"),
     )
+
+
+@_q("q64_media_thumbnails", None)
+def q64(spark, sf):
+    """Multimodal resize: REAL PNG decode → nearest-neighbor 8x8 greyscale
+    thumbnails (operators/multimodal.py resize_images), undecodable images
+    dropped. Rows-only check (the decode is not SQL-expressible); exact
+    thumbnail bytes are pinned in tests/test_multimodal.py against an
+    independent reference decode."""
+    from ethereum_etl_spark.operators.multimodal import resize_images
+
+    media = synthesize_media(spark, n=200)
+    t = resize_images(media, 8, 8)
+    return t.select(
+        "media_id", "thumb_width", "thumb_height",
+        F.crc32("thumb").alias("thumb_crc"),
+    )
