@@ -30,9 +30,10 @@ emits every family), so the combined path inherits their oracle checks.
 
 Family semantics are documented on the individual extractors; reference
 citations live there (uniswap_v2 v2.py, uniswap_v3.py:134-226, curve.py:
-514-603, contracts_v1.py:195-214, contracts_v2.py:146-156, traderjoe_v2_1.py:
-68-221, oneinch.py:145-173, sushiswap_bento.py:16-41, wombat.py:224-253,
-carbondefi.py:110-155, fjord.py:125-174, balancer.py:448-481).
+514-603, saddle/saddle.py:87-105, contracts_v1.py:195-214,
+contracts_v2.py:146-156, traderjoe_v2_1.py:68-221, oneinch.py:145-173,
+sushiswap_bento.py:16-41, wombat.py:224-253, carbondefi.py:110-155,
+fjord.py:125-174, balancer.py:448-481).
 """
 
 from __future__ import annotations
