@@ -101,7 +101,30 @@ def extract_dex_trades(
     NAMESPACE attribution, which the reference derives from the creating
     factory. When the ``pools`` dimension carries an ``amm`` column (as
     discover_pools emits), the trade inherits the pool's label instead of
-    the hardcoded 'uniswap_v2'."""
+    the hardcoded 'uniswap_v2'.
+
+    Kyber DMM pools (namespace "dmm") reuse v2's Mint/Burn topic0s but have
+    their OWN Swap and 4-word Sync — those Mint/Burn rows flow through THIS
+    extractor (attributed "dmm" via the pool dim), so DMM Sync rows are
+    admitted as reserve marks here (their reserve0/reserve1 fields are the
+    REAL reserves, words 3-4; the reference's DMMAmm inherits v2's
+    getReserves math, dmm/dmm.py:14-18 + uniswap_v2.py:121-135). DMM Swaps
+    output from extract_dex_trades_dmm."""
+    return _extract_v2_family(
+        parsed_logs, pools, tokens,
+        namespace="uniswap_v2", default_amm="uniswap_v2",
+        extra_sync_namespaces=("dmm",),
+    )
+
+
+def _extract_v2_family(
+    parsed_logs: DataFrame,
+    pools: DataFrame,
+    tokens: DataFrame,
+    namespace: str,
+    default_amm: str,
+    extra_sync_namespaces: tuple[str, ...] = (),
+) -> DataFrame:
     pcols = [
         F.col("address").alias("contract_address"),
         "factory_address",
@@ -113,10 +136,18 @@ def extract_dex_trades(
         pcols.append(F.col("amm").alias("__pool_amm"))
     p = F.broadcast(pools.select(*pcols))
     tok = tokens.select("address", "decimals")
-    events = parsed_logs.filter(
-        F.array_contains(F.col("namespace"), "uniswap_v2")
-        & F.col("event_name").isin("Swap", "Sync", "Mint", "Burn")
-    )
+    admit = F.array_contains(F.col("namespace"), namespace) & F.col(
+        "event_name"
+    ).isin("Swap", "Sync", "Mint", "Burn")
+    for ns in extra_sync_namespaces:
+        # foreign-namespace Sync marks (e.g. DMM's 4-word Sync feeding the
+        # reserves of v2-topic0 Mint/Burn on the same pool): mark-only —
+        # the output filter drops every Sync row
+        admit = admit | (
+            F.array_contains(F.col("namespace"), ns)
+            & (F.col("event_name") == "Sync")
+        )
+    events = parsed_logs.filter(admit)
     ev = (
         events.join(p, on="contract_address", how="inner")
         .join(
@@ -177,9 +208,9 @@ def extract_dex_trades(
             "factory_address",
             wallet.alias("wallet_address"),
             (
-                F.coalesce(F.col("__pool_amm"), F.lit("uniswap_v2"))
+                F.coalesce(F.col("__pool_amm"), F.lit(default_amm))
                 if "amm" in pools.columns
-                else F.lit("uniswap_v2")
+                else F.lit(default_amm)
             ).alias("amm"),
         )
         .withColumn(
@@ -188,6 +219,54 @@ def extract_dex_trades(
             .when(F.col("event_type") == "mint", "mint")
             .otherwise("burn"),
         )
+    )
+
+
+# Kyber DMM (reference service/dex/dmm/dmm.py — a UniswapV2Amm subclass
+# ENABLED in the live factory, dex_client_factory.py:46): v2 semantics under
+# DMM's own signatures — Swap carries a trailing feeInPrecision word and
+# Sync is 4 words (vReserve0, vReserve1, reserve0, reserve1; the trailing
+# pair is the REAL reserve set v2's getReserves math reads). Mint/Burn are
+# byte-identical to v2 → they decode under the v2 inventory rows and
+# attribute "dmm" through the pool dimension, like every other v2 fork.
+DMM_ABIS = [
+    EventAbi(
+        name="Swap",
+        inputs=[
+            {"name": "sender", "type": "address", "indexed": True},
+            {"name": "amount0In", "type": "uint256", "indexed": False},
+            {"name": "amount1In", "type": "uint256", "indexed": False},
+            {"name": "amount0Out", "type": "uint256", "indexed": False},
+            {"name": "amount1Out", "type": "uint256", "indexed": False},
+            {"name": "to", "type": "address", "indexed": True},
+            {"name": "feeInPrecision", "type": "uint256", "indexed": False},
+        ],
+        namespace="dmm",
+        contract_name="pool",
+    ),
+    EventAbi(
+        name="Sync",
+        inputs=[
+            {"name": "vReserve0", "type": "uint256", "indexed": False},
+            {"name": "vReserve1", "type": "uint256", "indexed": False},
+            {"name": "reserve0", "type": "uint256", "indexed": False},
+            {"name": "reserve1", "type": "uint256", "indexed": False},
+        ],
+        namespace="dmm",
+        contract_name="pool",
+    ),
+]
+
+
+def extract_dex_trades_dmm(
+    parsed_logs: DataFrame, pools: DataFrame, tokens: DataFrame
+) -> DataFrame:
+    """Kyber DMM Swap → dex_trades rows: v2 amount/price/reserve math over
+    DMM's own topic0s (the 4-word Sync's reserve0/reserve1 trailing pair).
+    Mint/Burn live in extract_dex_trades (shared v2 topic0s — see its
+    docstring); this extractor emits Swaps only."""
+    return _extract_v2_family(
+        parsed_logs, pools, tokens, namespace="dmm", default_amm="dmm"
     )
 
 
@@ -558,6 +637,20 @@ FACTORY_ABIS = [
         namespace="uniswap_v3",
         contract_name="factory",
     ),
+    # Kyber DMM factory (IDMMFactory.json): same event NAME as v3 but its
+    # own signature/topic0 — amp factor instead of fee tier
+    EventAbi(
+        name="PoolCreated",
+        inputs=[
+            {"name": "token0", "type": "address", "indexed": True},
+            {"name": "token1", "type": "address", "indexed": True},
+            {"name": "pool", "type": "address", "indexed": False},
+            {"name": "ampBps", "type": "uint32", "indexed": False},
+            {"name": "totalPool", "type": "uint256", "indexed": False},
+        ],
+        namespace="dmm",
+        contract_name="factory",
+    ),
     # DODO v1 factory (DODOZoo): the birth event CARRIES the pool address.
     # The reference instead RPC-introspects unseen pool addresses
     # (dodo/proxy.py _choose_amm_client + base.py token getters); a lake
@@ -720,7 +813,11 @@ def discover_pools(
         amm_label("solidly").alias("amm"),
         F.col("block_number"),
     )
-    v3 = parsed_logs.filter(F.col("event_name") == "PoolCreated").select(
+    # two PoolCreated shapes share the name but not the topic0 (v3 fee-tier
+    # vs DMM amp-factor) — disambiguate on the inventory namespace
+    is_pool_created = F.col("event_name") == "PoolCreated"
+    is_dmm = F.array_contains(F.col("namespace"), "dmm")
+    v3 = parsed_logs.filter(is_pool_created & ~is_dmm).select(
         F.lower(pe["pool"]).alias("address"),
         F.col("contract_address").alias("factory_address"),
         F.array(F.lower(pe["token0"]), F.lower(pe["token1"])).alias("token_addresses"),
@@ -728,6 +825,18 @@ def discover_pools(
         F.array(F.lower(pe["pool"])).alias("lp_token_addresses"),
         no_underlying.alias("underlying_token_addresses"),
         amm_label("uniswap_v3").alias("amm"),
+        F.col("block_number"),
+    )
+    # Kyber DMM: v2 pool semantics (LP token = the pool, fee MEDIUM — the
+    # reference DMMAmm inherits UniswapV2Amm's pool details)
+    dmm = parsed_logs.filter(is_pool_created & is_dmm).select(
+        F.lower(pe["pool"]).alias("address"),
+        F.col("contract_address").alias("factory_address"),
+        F.array(F.lower(pe["token0"]), F.lower(pe["token1"])).alias("token_addresses"),
+        F.lit(V2_DEFAULT_FEE).alias("fee"),
+        F.array(F.lower(pe["pool"])).alias("lp_token_addresses"),
+        no_underlying.alias("underlying_token_addresses"),
+        amm_label("dmm").alias("amm"),
         F.col("block_number"),
     )
     dodo_v1 = parsed_logs.filter(F.col("event_name") == "DODOBirth").select(
@@ -755,6 +864,7 @@ def discover_pools(
     out = (
         v2.unionByName(solidly)
         .unionByName(v3)
+        .unionByName(dmm)
         .unionByName(dodo_v1)
         .unionByName(dodo_v2)
     )

@@ -46,6 +46,7 @@ from ethereum_etl_spark.operators.dex import (
     BANCOR_V2_ABIS,
     CARBON_ABIS,
     CURVE_ABIS,
+    DMM_ABIS,
     DODO_ABIS,
     DODO_V2_ABIS,
     FJORD_ABIS,
@@ -69,6 +70,7 @@ from ethereum_etl_spark.operators.dex import (
 # which families a batch pays for)
 FAMILY_ABIS = {
     "uniswap_v2": UNISWAP_V2_ABIS,
+    "dmm": DMM_ABIS,
     "meshswap": MESHSWAP_ABIS,
     "uniswap_v3": UNISWAP_V3_ABIS,
     "balancer_v2": BALANCER_V2_ABIS,
@@ -91,6 +93,9 @@ FAMILY_ABIS = {
 # the equivalence test would catch if an ABI change ever broke it)
 FAMILY_EVENTS: dict[str, tuple[str, ...]] = {
     "uniswap_v2": ("Swap", "Sync", "Mint", "Burn"),
+    # DMM Mint/Burn share v2's topic0s and ride the uniswap_v2 branch
+    # (attributed "dmm" via the pool dim); DMM's own Sync is mark-only
+    "dmm": ("Swap", "Sync"),
     "meshswap": ("ExchangePos", "ExchangeNeg", "AddLiquidity", "RemoveLiquidity"),
     "uniswap_v3": ("Swap", "Mint", "Burn", "Collect"),
     "balancer_v2": ("Swap",),
@@ -255,7 +260,7 @@ def extract_dex_trades_combined(
     # The Sync marks are inlined into the window arguments and every derived
     # column lands in ONE withColumns pass (single tree re-analysis).
     win_cols: dict = {}
-    sync_fams = set(events_map) & {"uniswap_v2", "sushiswap_bento"}
+    sync_fams = set(events_map) & {"uniswap_v2", "dmm", "sushiswap_bento"}
     if sync_fams:
         w_excl = (
             Window.partitionBy("contract_address", "transaction_hash")
@@ -367,6 +372,7 @@ def extract_dex_trades_combined(
 
     a0 = chain([
         ("uniswap_v2", v2_a0),
+        ("dmm", v2_a0),
         ("meshswap", mesh_a0 / s0),
         ("uniswap_v3", _pe("amount0") / s0),
         ("balancer_v2", _pe("amountIn") / s0),
@@ -388,6 +394,7 @@ def extract_dex_trades_combined(
     ])
     a1 = chain([
         ("uniswap_v2", v2_a1),
+        ("dmm", v2_a1),
         ("meshswap", mesh_a1 / s1),
         ("uniswap_v3", _pe("amount1") / s1),
         ("balancer_v2", -_pe("amountOut") / s1),
@@ -430,6 +437,7 @@ def extract_dex_trades_combined(
     tj_p1 = F.when(tj_swap, rat1).otherwise(F.lit(0.0))
     p0 = chain([
         ("uniswap_v2", clamp(res_p0)),
+        ("dmm", clamp(res_p0)),
         ("meshswap", clamp(res_p0)),
         ("uniswap_v3", v3_p0),
         ("one_inch", clamp(oi_p0)),
@@ -439,6 +447,7 @@ def extract_dex_trades_combined(
     ], default=rat0)
     p1 = chain([
         ("uniswap_v2", clamp(res_p1)),
+        ("dmm", clamp(res_p1)),
         ("meshswap", clamp(res_p1)),
         ("uniswap_v3", v3_p1),
         ("one_inch", clamp(oi_p1)),
@@ -454,6 +463,7 @@ def extract_dex_trades_combined(
     )
     reserves = chain([
         ("uniswap_v2", sync_res),
+        ("dmm", sync_res),
         ("meshswap", sync_res),
         ("sushiswap_bento", sync_res),
         ("one_inch", F.array(oi_r0, oi_r1)),
@@ -471,6 +481,7 @@ def extract_dex_trades_combined(
     ], default=F.lit("swap"))
     wallet = chain([
         ("uniswap_v2", F.coalesce(pe["to"], pe["sender"])),
+        ("dmm", F.coalesce(pe["to"], pe["sender"])),
         ("meshswap", F.lower(pe["user"])),
         ("uniswap_v3", F.coalesce(pe["recipient"], pe["owner"], pe["sender"])),
         ("balancer_v2", F.lit(None).cast("string")),
@@ -492,6 +503,7 @@ def extract_dex_trades_combined(
     ], default=F.coalesce(F.col("__pamm"), fam) if has_amm else fam)
     out_tokens = chain([
         ("uniswap_v2", F.col("__ptoks")),
+        ("dmm", F.col("__ptoks")),
         ("uniswap_v3", F.col("__ptoks")),
         ("curve", F.array(F.col("__t0"), F.col("__t1"))),
         ("saddle", F.array(F.col("__t0"), F.col("__t1"))),

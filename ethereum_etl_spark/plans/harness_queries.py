@@ -3756,3 +3756,120 @@ def q64(spark, sf):
         "media_id", "thumb_width", "thumb_height",
         F.crc32("thumb").alias("thumb_crc"),
     )
+
+
+@_q(
+    "q65_dmm_trades",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, md5(CAST(o_orderkey AS VARCHAR)) AS tx,
+             o_orderkey % 20 AS p,
+             (o_orderkey % 50 + 1)::DOUBLE AS a0in,
+             (o_orderkey % 30 + 1)::DOUBLE / 10 AS a1out,
+             (o_orderkey % 97 + 5)::DOUBLE AS r0,
+             (o_orderkey % 89 + 3)::DOUBLE / 10 AS r1
+      FROM orders WHERE o_orderkey <= 4096)
+    SELECT '0x' || lpad(lower(to_hex(800 + p)), 40, '0') AS pool_address,
+           tx AS transaction_hash, k AS block_number,
+           'swap' AS event_type, 'dmm' AS amm,
+           round(a0in, 6) AS amount0, round(-a1out, 6) + 0.0 AS amount1,
+           round(r0, 6) AS reserve0, round(r1, 6) AS reserve1,
+           CAST(round(CAST(r1 / r0 AS DECIMAL(38,12)), 6) AS DOUBLE) AS price0,
+           CAST(round(CAST(r0 / r1 AS DECIMAL(38,12)), 6) AS DOUBLE) AS price1
+    FROM base
+    """,
+)
+def q65(spark, sf):
+    """Kyber DMM swaps (reference service/dex/dmm — a UniswapV2Amm subclass
+    ENABLED in the live factory, dex_client_factory.py:46): v2 in/out
+    amount math under DMM's own Swap topic0 (trailing feeInPrecision word)
+    with reserves from the 4-word Sync's trailing REAL pair — the no-RPC
+    rendering of v2's getReserves(block-1) call. The oracle replays the
+    scaling arithmetic directly."""
+    from ethereum_etl_spark.operators.dex import (
+        DMM_ABIS,
+        POOL_DDL,
+        TOKEN_DIM_DDL,
+        extract_dex_trades_dmm,
+    )
+    from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
+
+    SWAP, SYNC = DMM_ABIS
+    o = ld(spark, sf, "orders").filter("o_orderkey <= 4096")
+    k = F.col("o_orderkey")
+    pool = F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(F.lit(800) + k % 20)), 40, "0"))
+    wallet_w = F.lpad(F.lit("ab" * 20), 64, "0")
+
+    def w64(c):
+        return F.lpad(F.lower(F.hex(c.cast("long"))), 64, "0")
+
+    common = [
+        F.md5(k.cast("string")).alias("transaction_hash"),
+        F.lit(0).alias("transaction_index"),
+        F.lit("0xb").alias("block_hash"),
+        k.alias("block_number"),
+        pool.alias("address"),
+    ]
+    sync_logs = o.select(
+        F.lit(1).alias("log_index"),
+        *common,
+        F.concat(
+            F.lit("0x"),
+            w64(F.lit(123)), w64(F.lit(456)),                     # vReserves
+            w64((k % 97 + 5) * 1_000_000),                        # reserve0
+            w64((k % 89 + 3) * F.lit(10**17)),                    # reserve1
+        ).alias("data"),
+        F.array(F.lit(SYNC.topic0)).alias("topics"),
+    )
+    swap_logs = o.select(
+        F.lit(2).alias("log_index"),
+        *common,
+        F.concat(
+            F.lit("0x"),
+            w64((k % 50 + 1) * 1_000_000),                        # amount0In
+            w64(F.lit(0)), w64(F.lit(0)),
+            w64((k % 30 + 1) * F.lit(10**17)),                    # amount1Out
+            w64(F.lit(7)),                                        # feeInPrecision
+        ).alias("data"),
+        F.array(
+            F.lit(SWAP.topic0),
+            F.concat(F.lit("0x"), wallet_w),
+            F.concat(F.lit("0x"), wallet_w),
+        ).alias("topics"),
+    )
+    logs = sync_logs.unionByName(swap_logs)
+    parsed = parse_logs(logs, build_inventory(spark, DMM_ABIS), DMM_ABIS)
+
+    def addr(n):
+        return f"0x{n:040x}"
+
+    pools = spark.createDataFrame(
+        [
+            (addr(800 + p), "0xfac", [addr(2000 + 2 * p), addr(2001 + 2 * p)], 3000, [])
+            for p in range(20)
+        ],
+        POOL_DDL,
+    )
+    tokens = spark.createDataFrame(
+        [(addr(2000 + 2 * p), "T0", 6) for p in range(20)]
+        + [(addr(2001 + 2 * p), "T1", 18) for p in range(20)],
+        TOKEN_DIM_DDL,
+    )
+    t = extract_dex_trades_dmm(parsed, pools, tokens)
+    return t.select(
+        "pool_address",
+        "transaction_hash",
+        "block_number",
+        "event_type",
+        "amm",
+        F.round(F.element_at("token_amounts", 1), 6).alias("amount0"),
+        (F.round(F.element_at("token_amounts", 2), 6) + F.lit(0.0)).alias("amount1"),
+        F.round(F.element_at("token_reserves", 1), 6).alias("reserve0"),
+        F.round(F.element_at("token_reserves", 2), 6).alias("reserve1"),
+        F.round(
+            F.element_at("token_prices", 1).cast("decimal(38,12)"), 6
+        ).cast("double").alias("price0"),
+        F.round(
+            F.element_at("token_prices", 2).cast("decimal(38,12)"), 6
+        ).cast("double").alias("price1"),
+    )

@@ -99,6 +99,12 @@ class ChainWalSpec:
     # leg's decimals (utok = 9) resolve only if the token dim semi-join
     # probes the pool's UNDERLYING addresses, not just its top-level pair.
     dex_metapools: bool = False
+    # opt-in Kyber DMM traffic on top of dex_families: factory PoolCreated
+    # (amp-factor shape, own topic0) at deploy blocks, then per-block
+    # 4-word Sync + DMM Swap + a v2-topic0 Mint on the SAME dmm pool —
+    # the Mint exercises the cross-namespace reserve coupling (v2-branch
+    # rows reading a dmm Sync mark) end-to-end in the streamer.
+    dex_dmm: bool = False
 
 
 def _blocks_df(spark: SparkSession, spec: ChainWalSpec, fork_of: DataFrame | None = None):
@@ -553,6 +559,41 @@ def _dex_family_log_df(
         .unionByName(v3_deploy).unionByName(pool_fund).unionByName(v3_swap)
         .unionByName(v2_mint).unionByName(lp_direct).unionByName(lp_routed)
     )
+    if spec.dex_dmm:
+        from ethereum_etl_spark.operators.dex import DMM_ABIS
+
+        DMM_PC = next(
+            a for a in FACTORY_ABIS
+            if a.namespace == "dmm" and a.name == "PoolCreated"
+        )
+        DSWP, DSYNC = DMM_ABIS
+        V2_MINT = next(a for a in UNISWAP_V2_ABIS if a.name == "Mint")
+        dmm_deploy = deploy.select(*row(
+            115, _addr("dmmfactory", F.lit(0)),
+            [_addr_word(_addr("dmmpool", n)), w64(F.lit(12000)), w64(n + 1)],
+            [F.lit(DMM_PC.topic0), t1(F.lit(DEX_STABLE)), t1(dtok(n))],
+        ))
+        dmm_sync = active.select(*row(
+            116, _addr("dmmpool", pid),
+            [w64(F.lit(11)), w64(F.lit(13)),
+             w64((m % 97 + 5) * 1_000_000), w64((m % 89 + 3) * F.lit(10**17))],
+            [F.lit(DSYNC.topic0)],
+        ))
+        dmm_swap = active.select(*row(
+            117, _addr("dmmpool", pid),
+            [w64((m % 50 + 1) * 1_000_000), w64(F.lit(0)), w64(F.lit(0)),
+             w64((m % 30 + 1) * F.lit(10**16)), w64(F.lit(9))],
+            [F.lit(DSWP.topic0), t1(wallet(n % 19)), t1(wallet((n + 1) % 19))],
+        ))
+        dmm_mint = active.select(*row(
+            118, _addr("dmmpool", pid),
+            [w64((m % 9 + 1) * 1_000_000), w64((m % 7 + 1) * F.lit(10**16))],
+            [F.lit(V2_MINT.topic0), t1(wallet(n % 19))],
+        ))
+        out = (
+            out.unionByName(dmm_deploy).unionByName(dmm_sync)
+            .unionByName(dmm_swap).unionByName(dmm_mint)
+        )
     if spec.dex_metapools and tx1 is not None:
         META = next(a for a in FACTORY_ABIS if a.name == "MetaPoolDeployed")
         EXCH_U = CURVE_ABIS[1]

@@ -23,6 +23,7 @@ from ethereum_etl_spark.operators.dex import (
     CARBON_ABIS,
     CURVE_ABIS,
     DISCOVERED_POOL_DDL,
+    DMM_ABIS,
     DODO_ABIS,
     DODO_V2_ABIS,
     FJORD_ABIS,
@@ -41,6 +42,7 @@ from ethereum_etl_spark.operators.dex import (
     extract_dex_trades_bento,
     extract_dex_trades_carbon,
     extract_dex_trades_curve,
+    extract_dex_trades_dmm,
     extract_dex_trades_dodo,
     extract_dex_trades_dodo_v2,
     extract_dex_trades_fjord,
@@ -88,7 +90,7 @@ ALL_ABIS = (
     UNISWAP_V2_ABIS + UNISWAP_V3_ABIS + BALANCER_V2_ABIS + CURVE_ABIS
     + DODO_ABIS + DODO_V2_ABIS + TRADERJOE_ABIS + ONE_INCH_ABIS
     + SUSHI_BENTO_ABIS + WOMBAT_ABIS + CARBON_ABIS + FJORD_ABIS
-    + MESHSWAP_ABIS + BANCOR_V2_ABIS + SADDLE_ABIS
+    + MESHSWAP_ABIS + BANCOR_V2_ABIS + SADDLE_ABIS + DMM_ABIS
 )
 
 W = lambda v: f"{v & ((1 << 256) - 1):064x}"  # noqa: E731 — two's complement
@@ -108,6 +110,7 @@ P_TJ, P_OI, P_BEN, P_FJ, P_META = ADDR("6"), ADDR("7"), ADDR("8"), ADDR("9"), AD
 P_MESH = ADDR("32")
 P_BC, P_PLAT = ADDR("b3"), ADDR("34")
 P_SAD, P_SADU = ADDR("35"), ADDR("36")
+P_DMM = ADDR("37")
 VAULT, WOM, CTRL, UNKNOWN = ADDR("bb"), ADDR("cc"), ADDR("dd"), ADDR("ff")
 
 
@@ -255,6 +258,18 @@ def _fixture_logs(spark):
     log(2, "0xsd", P_SAD, SADDLE_ABIS[0].topic0, [TOPIC(int(WALLET1, 16))],
         [W(1), W(1), W(9), W(0)])
 
+    # kyber dmm tx: 4-word Sync (vReserves then the REAL reserve pair the
+    # v2 math reads) -> dmm Swap (own topic0, trailing feeInPrecision) AND a
+    # v2-topic0 Mint on the SAME pool whose reserves must come from that
+    # dmm Sync (shared-window coupling both paths implement)
+    log(1, "0xdm", P_DMM, DMM_ABIS[1].topic0, [],
+        [W(50_000_000), W(20 * 10**18), W(8_000_000), W(2 * 10**18)])
+    log(2, "0xdm", P_DMM, DMM_ABIS[0].topic0,
+        [TOPIC(int(WALLET1, 16)), TOPIC(int(WALLET2, 16))],
+        [W(2_500_000), W(0), W(0), W(8 * 10**17), W(10**15)])
+    log(3, "0xdm", P_DMM, v2_mint, [TOPIC(int(WALLET1, 16))],
+        [W(1_200_000), W(3 * 10**17)])
+
     # fjord: Buy + Sell
     log(1, "0xfj", P_FJ, FJORD_ABIS[0].topic0, [TOPIC(int(WALLET1, 16))],
         [W(2_000_000), W(10**18), W(5)])
@@ -286,6 +301,7 @@ def _dims(spark):
             mk(P_BC, [TA, TB]),
             mk(P_SAD, [TA, TB, TC]),
             mk(P_SADU, [TA, TB], amm="saddle", under=[TB, TU]),
+            mk(P_DMM, [TA, TB], amm="dmm"),
         ],
         DISCOVERED_POOL_DDL,
     )
@@ -321,6 +337,7 @@ def _union_of_individual(parsed, pools, tokens, pool_balances=None):
         extract_dex_trades_wombat_liquidity(parsed, pools, tokens),
         extract_dex_trades_bancor_v2(parsed, pools, tokens),
         extract_dex_trades_saddle(parsed, pools, tokens),
+        extract_dex_trades_dmm(parsed, pools, tokens),
     ]
     out = parts[0].select(*shape)
     for p in parts[1:]:
@@ -362,8 +379,8 @@ def test_combined_equals_union_all_families(spark, parsed):
     combined = extract_dex_trades_combined(parsed, pools, tokens)
     union = _union_of_individual(parsed, pools, tokens)
     rows = combined.collect()
-    assert len(rows) == 33  # every family present, drops applied
-    assert len({r["amm"] for r in rows}) == 16  # incl. platypus + bancor_v2 + saddle
+    assert len(rows) == 35  # every family present, drops applied
+    assert len({r["amm"] for r in rows}) == 17  # incl. platypus/bancor_v2/saddle/dmm
     _assert_equivalent(combined, union, got=rows)
 
 

@@ -223,3 +223,100 @@ def test_metapool_underlying_decimals_via_tok_probe(spark):
         wal.unpersist()
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_dmm_pool_created_discovery(spark):
+    """Kyber DMM factory PoolCreated (own topic0: amp factor, no fee tier;
+    reference IDMMFactory.json, dmm.py enabled in the live factory) — the
+    pool lands in the dimension labeled dmm, v2 pool semantics (LP token =
+    the pool, fee MEDIUM), disambiguated from v3's same-NAME PoolCreated by
+    inventory namespace."""
+    from ethereum_etl_spark.operators.dex import (
+        FACTORY_ABIS,
+        V2_DEFAULT_FEE,
+        discover_pools,
+    )
+    from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
+
+    DMM_PC = next(
+        a for a in FACTORY_ABIS if a.namespace == "dmm" and a.name == "PoolCreated"
+    )
+    V3_PC = next(
+        a for a in FACTORY_ABIS
+        if a.namespace == "uniswap_v3" and a.name == "PoolCreated"
+    )
+    assert DMM_PC.topic0 != V3_PC.topic0
+    word = lambda n: f"{n:064x}"  # noqa: E731
+    t = lambda n: "0x" + word(n)  # noqa: E731
+    logs = spark.createDataFrame(
+        [
+            (1, "0xt1", 0, "0xb", 5, "0x" + "fa" * 20,
+             "0x" + word(0xD00) + word(10000) + word(7), [DMM_PC.topic0, t(0xA), t(0xB)]),
+            (2, "0xt1", 0, "0xb", 5, "0x" + "fb" * 20,
+             "0x" + word(60) + word(0xE00), [V3_PC.topic0, t(0xA), t(0xB), t(3000)]),
+        ],
+        "log_index int, transaction_hash string, transaction_index int,"
+        "block_hash string, block_number long, address string, data string,"
+        "topics array<string>",
+    )
+    parsed = parse_logs(logs, build_inventory(spark, FACTORY_ABIS), FACTORY_ABIS)
+    pools = {r["amm"]: r for r in discover_pools(parsed).collect()}
+    assert set(pools) == {"dmm", "uniswap_v3"}
+    dmm = pools["dmm"]
+    assert dmm["address"] == "0x" + word(0xD00)[-40:]
+    assert dmm["token_addresses"] == ["0x" + word(0xA)[-40:], "0x" + word(0xB)[-40:]]
+    assert dmm["fee"] == V2_DEFAULT_FEE
+    assert dmm["lp_token_addresses"] == [dmm["address"]]
+    assert pools["uniswap_v3"]["fee"] == 3000
+
+
+def test_dmm_end_to_end_in_streamer(spark):
+    """Kyber DMM through the full CDC loop: factory PoolCreated discovery,
+    DMM-Swap assembly with reserves from the 4-word Sync, and a v2-topic0
+    Mint on the SAME dmm pool whose reserves come from that dmm Sync (the
+    cross-namespace mark coupling) — all labeled dmm via the dimension."""
+    wh = tempfile.mkdtemp(prefix="dex_dmm_wh_")
+    try:
+        n_pools = 3
+        spec = ChainWalSpec(
+            start_block=0, end_block=39, dex_pools=n_pools,
+            dex_families=True, dex_dmm=True,
+        )
+        wal = generate_chain_wal(spark, spec).cache()
+        cfg = StreamerConfig(
+            warehouse=wh, batch_size=200, partition_size=16,
+            entity_types=ENTITIES,
+        )
+        s = ChainStreamer(spark, cfg)
+        s.run(WalTailer(wal, batch_size=200))
+
+        pools = s.tables["dex_pools"].read()
+        dmm_pools = {r["address"]: r for r in pools.filter(F.col("amm") == "dmm").collect()}
+        assert set(dmm_pools) == {_addr("dmmpool", k) for k in range(n_pools)}
+        for k in range(n_pools):
+            row = dmm_pools[_addr("dmmpool", k)]
+            assert row["token_addresses"] == [DEX_STABLE, _addr("dtok", k)]
+            assert row["lp_token_addresses"] == [row["address"]]
+
+        trades = s.tables["dex_trades"].read().filter(F.col("amm") == "dmm").collect()
+        active = 40 - n_pools
+        by_type = {}
+        for r in trades:
+            by_type.setdefault(r["event_type"], []).append(r)
+        assert len(by_type["swap"]) == active and len(by_type["mint"]) == active
+        for r in trades:
+            b = r["block_number"]
+            # reserves from the dmm Sync's trailing REAL pair, for BOTH the
+            # dmm Swap and the v2-topic0 Mint
+            assert abs(r["token_reserves"][0] - (b % 97 + 5)) < 1e-9, r
+            assert abs(r["token_reserves"][1] - (b % 89 + 3) / 10) < 1e-9, r
+            assert r["token_prices"][0] > 0
+            if r["event_type"] == "swap":
+                assert abs(r["token_amounts"][0] - (b % 50 + 1)) < 1e-9
+                assert abs(r["token_amounts"][1] + (b % 30 + 1) / 100) < 1e-9
+            else:
+                assert abs(r["token_amounts"][0] - (b % 9 + 1)) < 1e-9
+                assert abs(r["token_amounts"][1] - (b % 7 + 1) / 100) < 1e-9
+        wal.unpersist()
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
