@@ -651,6 +651,48 @@ FACTORY_ABIS = [
         namespace="dmm",
         contract_name="factory",
     ),
+    # TraderJoe LB factory (traderjoe_v2_1/LBFactory.json): binStep doubles
+    # as the pair's fee parameter; LB positions are ERC-1155 at the pair
+    EventAbi(
+        name="LBPairCreated",
+        inputs=[
+            {"name": "tokenX", "type": "address", "indexed": True},
+            {"name": "tokenY", "type": "address", "indexed": True},
+            {"name": "binStep", "type": "uint256", "indexed": True},
+            {"name": "LBPair", "type": "address", "indexed": False},
+            {"name": "pid", "type": "uint256", "indexed": False},
+        ],
+        namespace="traderjoe_v2_1",
+        contract_name="factory",
+    ),
+    # 1inch mooniswap factory (one_inch/OneInchFactory.json): the pool is
+    # its own LP token; token1 may be the zero address (raw ETH side)
+    EventAbi(
+        name="Deployed",
+        inputs=[
+            {"name": "mooniswap", "type": "address", "indexed": True},
+            {"name": "token1", "type": "address", "indexed": True},
+            {"name": "token2", "type": "address", "indexed": True},
+        ],
+        namespace="one_inch",
+        contract_name="factory",
+    ),
+    # Meshswap factory (meshswap/UniswapV2Factory.json CreatePool): all
+    # fields ride the data payload, incl. the per-pool fee
+    EventAbi(
+        name="CreatePool",
+        inputs=[
+            {"name": "token0", "type": "address", "indexed": False},
+            {"name": "amount0", "type": "uint256", "indexed": False},
+            {"name": "token1", "type": "address", "indexed": False},
+            {"name": "amount1", "type": "uint256", "indexed": False},
+            {"name": "fee", "type": "uint256", "indexed": False},
+            {"name": "exchange", "type": "address", "indexed": False},
+            {"name": "exid", "type": "uint256", "indexed": False},
+        ],
+        namespace="meshswap",
+        contract_name="factory",
+    ),
     # DODO v1 factory (DODOZoo): the birth event CARRIES the pool address.
     # The reference instead RPC-introspects unseen pool addresses
     # (dodo/proxy.py _choose_amm_client + base.py token getters); a lake
@@ -861,10 +903,43 @@ def discover_pools(
         amm_label("dodo_v2").alias("amm"),
         F.col("block_number"),
     )
+    lb = parsed_logs.filter(F.col("event_name") == "LBPairCreated").select(
+        F.lower(pe["LBPair"]).alias("address"),
+        F.col("contract_address").alias("factory_address"),
+        F.array(F.lower(pe["tokenX"]), F.lower(pe["tokenY"])).alias("token_addresses"),
+        pe["binStep"].try_cast("int").alias("fee"),
+        F.array(F.lower(pe["LBPair"])).alias("lp_token_addresses"),
+        no_underlying.alias("underlying_token_addresses"),
+        amm_label("traderjoe_v2_1").alias("amm"),
+        F.col("block_number"),
+    )
+    oi = parsed_logs.filter(F.col("event_name") == "Deployed").select(
+        F.lower(pe["mooniswap"]).alias("address"),
+        F.col("contract_address").alias("factory_address"),
+        F.array(F.lower(pe["token1"]), F.lower(pe["token2"])).alias("token_addresses"),
+        F.lit(0).alias("fee"),
+        F.array(F.lower(pe["mooniswap"])).alias("lp_token_addresses"),
+        no_underlying.alias("underlying_token_addresses"),
+        amm_label("one_inch").alias("amm"),
+        F.col("block_number"),
+    )
+    mesh = parsed_logs.filter(F.col("event_name") == "CreatePool").select(
+        F.lower(pe["exchange"]).alias("address"),
+        F.col("contract_address").alias("factory_address"),
+        F.array(F.lower(pe["token0"]), F.lower(pe["token1"])).alias("token_addresses"),
+        pe["fee"].try_cast("int").alias("fee"),
+        F.array(F.lower(pe["exchange"])).alias("lp_token_addresses"),
+        no_underlying.alias("underlying_token_addresses"),
+        amm_label("meshswap").alias("amm"),
+        F.col("block_number"),
+    )
     out = (
         v2.unionByName(solidly)
         .unionByName(v3)
         .unionByName(dmm)
+        .unionByName(lb)
+        .unionByName(oi)
+        .unionByName(mesh)
         .unionByName(dodo_v1)
         .unionByName(dodo_v2)
     )

@@ -320,3 +320,49 @@ def test_dmm_end_to_end_in_streamer(spark):
         wal.unpersist()
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_lb_oneinch_meshswap_factory_discovery(spark):
+    """The remaining pool-dimension families' factory events (reference
+    LBFactory.json LBPairCreated, OneInchFactory.json Deployed, meshswap
+    UniswapV2Factory.json CreatePool — the reference maps these factories
+    via deploys/metadata.json and RPC-introspects the pool; the lake engine
+    derives the dimension from the event itself): LB binStep doubles as the
+    fee parameter, mooniswap pools are their own LP token, meshswap carries
+    everything in the data payload."""
+    from ethereum_etl_spark.operators.dex import FACTORY_ABIS, discover_pools
+    from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
+
+    LB = next(a for a in FACTORY_ABIS if a.name == "LBPairCreated")
+    OI = next(a for a in FACTORY_ABIS if a.name == "Deployed")
+    MESH = next(a for a in FACTORY_ABIS if a.name == "CreatePool")
+    word = lambda n: f"{n:064x}"  # noqa: E731
+    t = lambda n: "0x" + word(n)  # noqa: E731
+    logs = spark.createDataFrame(
+        [
+            (1, "0xt1", 0, "0xb", 7, "0x" + "f1" * 20,
+             "0x" + word(0xAB1) + word(42), [LB.topic0, t(0xA), t(0xB), t(25)]),
+            (2, "0xt1", 0, "0xb", 7, "0x" + "f2" * 20,
+             "0x", [OI.topic0, t(0xAB2), t(0xA), t(0)]),
+            (3, "0xt1", 0, "0xb", 7, "0x" + "f3" * 20,
+             "0x" + word(0xA) + word(5) + word(0xB) + word(9) + word(40)
+             + word(0xAB3) + word(77), [MESH.topic0]),
+        ],
+        "log_index int, transaction_hash string, transaction_index int,"
+        "block_hash string, block_number long, address string, data string,"
+        "topics array<string>",
+    )
+    parsed = parse_logs(logs, build_inventory(spark, FACTORY_ABIS), FACTORY_ABIS)
+    pools = {r["amm"]: r for r in discover_pools(parsed).collect()}
+    assert set(pools) == {"traderjoe_v2_1", "one_inch", "meshswap"}
+    a = lambda n: "0x" + word(n)[-40:]  # noqa: E731
+    lb = pools["traderjoe_v2_1"]
+    assert (lb["address"], lb["fee"]) == (a(0xAB1), 25)
+    assert lb["token_addresses"] == [a(0xA), a(0xB)]
+    oi = pools["one_inch"]
+    assert oi["address"] == a(0xAB2)
+    assert oi["token_addresses"] == [a(0xA), a(0)]  # ETH side = zero addr
+    assert oi["lp_token_addresses"] == [a(0xAB2)]
+    mesh = pools["meshswap"]
+    assert (mesh["address"], mesh["fee"]) == (a(0xAB3), 40)
+    assert mesh["token_addresses"] == [a(0xA), a(0xB)]
