@@ -159,6 +159,12 @@ def extract_dex_trades_combined(
         # window still sees them (they never reach the output: Sync rows
         # are dropped after the window).
         events_map["uniswap_v2"] = ("Sync",)
+    if "uniswap_v2" in fams and "dmm" not in fams:
+        # the mirror case: v2-topic0 Mint/Burn on a Kyber DMM pool read
+        # their reserves from DMM's OWN 4-word Sync (extract_dex_trades
+        # admits those marks unconditionally) — keep the subset equivalent
+        # with a mark-only dmm pseudo-branch
+        events_map["dmm"] = ("Sync",)
     ev = parsed_logs.withColumn(
         "__fam", _fam_case(list(events_map), events_map)
     ).filter(F.col("__fam").isNotNull())

@@ -459,3 +459,21 @@ def test_combined_plan_single_window_exchange_and_broadcast_dims(spark, parsed):
     assert "SortMergeJoin" not in plan, plan[:4000]
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_combined_v2_without_dmm_keeps_dmm_sync_reserves(spark, parsed):
+    # uniswap_v2 requested ALONE: the v2-topic0 Mint on the DMM pool must
+    # still read the dmm 4-word Sync's reserves through the mark-only
+    # pseudo-branch (extract_dex_trades admits those marks unconditionally,
+    # so the subset stays equivalent); dmm Swaps themselves must NOT emit.
+    pools, tokens = _dims(spark)
+    sub = extract_dex_trades_combined(
+        parsed, pools, tokens, families=["uniswap_v2"]
+    )
+    rows = [r for r in sub.collect() if r["pool_address"] == P_DMM]
+    assert [r["event_type"] for r in rows] == ["mint"]
+    r = rows[0]
+    # reserves from the dmm Sync trailing pair: [8.0, 2.0] scaled (6/18 dec)
+    assert r["token_reserves"] == [8.0, 2.0]
+    assert r["token_prices"] == [2.0 / 8.0, 8.0 / 2.0]
+    assert r["amm"] == "dmm"  # pool-dim attribution even on the v2 branch
