@@ -229,16 +229,26 @@ def priced_token_transfers(
 ) -> DataFrame:
     """extract_token_transfers_priced analog (jobs/
     extract_token_transfers_priced.py): each transfer gains the as-of stable
-    price of its token and value_stable = value / 10^decimals × price."""
+    price of its token and value_stable = amount × price, with the
+    reference mapper's exact scaling rules (mappers/
+    transfer_priced_mapper.py:14-16 + the job's decimals lookup :64):
+    ERC-20 amount = value / 10^decimals with decimals defaulting to 0 for
+    unknown tokens; NFT standards (ERC-721/1155) count amount = 1 per
+    transfer row regardless of value — golden-pinned by
+    test_reference_golden_parity."""
     dec = F.broadcast(
         tokens.select(F.col("address").alias("token_address"), "decimals")
     )
     t = transfers.join(dec, on="token_address", how="left").withColumn(
-        "__scale", F.pow(F.lit(10.0), F.coalesce("decimals", F.lit(18)))
+        "__scale", F.pow(F.lit(10.0), F.coalesce("decimals", F.lit(0)))
     )
     priced = attach_stable_price(t, marks, stablecoins)
-    return priced.withColumn(
-        "amount", F.col("value").cast("double") / F.col("__scale")
-    ).withColumn(
+    scaled = F.col("value").cast("double") / F.col("__scale")
+    amount = (
+        F.when(F.col("token_standard") != "ERC-20", F.lit(1.0)).otherwise(scaled)
+        if "token_standard" in transfers.columns
+        else scaled
+    )
+    return priced.withColumn("amount", amount).withColumn(
         "value_stable", F.col("amount") * F.col("price_stable")
     ).drop("__scale")
