@@ -232,12 +232,12 @@ def calculate_trace_statuses(traces: DataFrame) -> DataFrame:
         if len(pdf) <= 1:
             return pdf
         pdf = pdf.copy()
-        order = pdf["trace_address"].map(lambda ta: len(ta or []))
+        order = pdf["trace_address"].map(lambda ta: 0 if ta is None else len(ta))
         pdf = pdf.iloc[order.argsort(kind="stable")]
         status_by_path: dict[tuple, int] = {}
         out = []
         for _, row in pdf.iterrows():
-            ta = tuple(row["trace_address"] or [])
+            ta = tuple(row["trace_address"]) if row["trace_address"] is not None else ()
             st = int(row["status"])
             if ta and status_by_path.get(ta[:-1], 1) == 0:
                 st = 0

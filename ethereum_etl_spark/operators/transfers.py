@@ -129,12 +129,12 @@ def extract_token_transfers(logs: DataFrame) -> DataFrame:
     )
 
     transfers_arr = (
-        F.when(is_erc20, F.array(raw("ERC20", t(1), t(2), w(0), null_w, null_w)))
+        F.when(is_erc20, F.array(raw("ERC-20", t(1), t(2), w(0), null_w, null_w)))
         .when(
             is_erc721,
             F.array(
                 raw(
-                    "ERC721",
+                    "ERC-721",
                     t(1),
                     t(2),
                     # value = first data word, 0 when data empty (:92-105)
@@ -144,13 +144,13 @@ def extract_token_transfers(logs: DataFrame) -> DataFrame:
                 )
             ),
         )
-        .when(is_single, F.array(raw("ERC1155", t(2), t(3), w(1), w(0), t(1))))
+        .when(is_single, F.array(raw("ERC-1155", t(2), t(3), w(1), w(0), t(1))))
         .when(
             batch_ok,
             F.zip_with(
                 F.slice(F.col("w"), off_ids + 2, n_pairs),
                 F.slice(F.col("w"), off_vals + 2, n_pairs),
-                lambda id_w, val_w: raw("ERC1155", t(2), t(3), val_w, id_w, t(1)),
+                lambda id_w, val_w: raw("ERC-1155", t(2), t(3), val_w, id_w, t(1)),
             ),
         )
         .otherwise(F.lit(None).cast(_RAW_STRUCT_DDL))
@@ -171,7 +171,7 @@ def extract_token_transfers(logs: DataFrame) -> DataFrame:
     value = u256(F.col("x.value_w"))
     # ERC-721 value-decode fallback to 0 on garbage data (:99-105)
     value = F.when(
-        (F.col("x.std") == "ERC721") & value.isNull(), F.lit(0).cast("decimal(38,0)")
+        (F.col("x.std") == "ERC-721") & value.isNull(), F.lit(0).cast("decimal(38,0)")
     ).otherwise(value)
 
     return exploded.select(

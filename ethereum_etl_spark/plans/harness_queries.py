@@ -562,7 +562,7 @@ def q22(spark, sf):
     "q23_erc20_decode_parity",
     f"""
     SELECT '0x' || lpad(lower(to_hex(l_partkey)), 40, '0') AS token_address,
-           'ERC20' AS token_standard,
+           'ERC-20' AS token_standard,
            '0x' || lpad(lower(to_hex(l_suppkey)), 40, '0') AS from_address,
            '0x' || lpad(lower(to_hex(l_orderkey)), 40, '0') AS to_address,
            CAST(l_quantity AS BIGINT) AS value,
@@ -1080,7 +1080,7 @@ def q35(spark, sf):
     li = ld(spark, sf, "lineitem")
     tt = li.select(
         F.concat(F.lit("0x"), F.lpad(F.lower(F.hex("l_partkey")), 40, "0")).alias("token_address"),
-        F.lit("ERC20").alias("token_standard"),
+        F.lit("ERC-20").alias("token_standard"),
         F.concat(F.lit("0x"), F.lpad(F.lower(F.hex("l_suppkey")), 40, "0")).alias("from_address"),
         F.concat(F.lit("0x"), F.lpad(F.lower(F.hex("l_orderkey")), 40, "0")).alias("to_address"),
         F.col("l_quantity").cast("decimal(38,0)").alias("value"),

@@ -321,9 +321,9 @@ ITEM_ID_FIELDS: dict[str, list[str]] = {
     "log": ["transaction_hash", "log_index"],
     "token_transfer": ["transaction_hash", "log_index"],
     "trace": ["trace_id"],
-    "geth_trace": ["transaction_hash"],
-    "internal_transfer": ["transaction_hash", "id"],
-    "contract": ["address"],
+    "geth_trace": ["block_number", "transaction_hash"],
+    "internal_transfer": ["block_number", "transaction_hash", "id"],
+    "contract": ["block_number", "address"],
     "token": ["address"],
     "token_balance": ["block_number", "token_address", "holder_address", "token_id"],
     "native_balance": ["block_number", "address"],

@@ -15,9 +15,9 @@ from ethereum_etl_spark.streaming import ChainStreamer, StreamerConfig
 def test_token_balances_cumulative_with_carry(spark):
     rows = [
         # (token, std, from, to, value, block, token_id)
-        ("0xt1", "ERC20", "0xa", "0xb", Decimal(100), 1, None),
-        ("0xt1", "ERC20", "0xb", "0xc", Decimal(40), 2, None),
-        ("0xt1", "ERC20", "0x0000000000000000000000000000000000000000", "0xa", Decimal(7), 2, None),  # mint
+        ("0xt1", "ERC-20", "0xa", "0xb", Decimal(100), 1, None),
+        ("0xt1", "ERC-20", "0xb", "0xc", Decimal(40), 2, None),
+        ("0xt1", "ERC-20", "0x0000000000000000000000000000000000000000", "0xa", Decimal(7), 2, None),  # mint
     ]
     tt = spark.createDataFrame(
         rows,

@@ -38,7 +38,7 @@ def test_end_to_end_replay(spark, tmp_path):
 
     # transfers decoded: value matches the encoded word
     t = tts.filter("block_number = 3 and log_index = 0").first()
-    assert t["token_standard"] == "ERC20"
+    assert t["token_standard"] == "ERC-20"
     assert t["value"] is not None and t["value"] > 0
     assert t["from_address"].startswith("0x") and len(t["from_address"]) == 42
 

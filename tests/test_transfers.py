@@ -91,12 +91,12 @@ def test_all_standards_and_skip_rules(spark):
     )
     token = "0x" + "d" * 40  # address lowercased
     assert out == [
-        [0, "ERC20", "0x" + A1, "0x" + A2, Decimal(1000), None, None, token],
-        [2, "ERC721", "0x" + A1, "0x" + A2, Decimal(5), Decimal(777), None, token],
-        [3, "ERC721", "0x" + A1, "0x" + A2, Decimal(0), Decimal(778), None, token],
-        [4, "ERC1155", "0x" + A1, "0x" + A2, Decimal(4), Decimal(9), "0x" + OP, token],
-        [5, "ERC1155", "0x" + A1, "0x" + A2, Decimal(10), Decimal(1), "0x" + OP, token],
-        [5, "ERC1155", "0x" + A1, "0x" + A2, Decimal(20), Decimal(2), "0x" + OP, token],
+        [0, "ERC-20", "0x" + A1, "0x" + A2, Decimal(1000), None, None, token],
+        [2, "ERC-721", "0x" + A1, "0x" + A2, Decimal(5), Decimal(777), None, token],
+        [3, "ERC-721", "0x" + A1, "0x" + A2, Decimal(0), Decimal(778), None, token],
+        [4, "ERC-1155", "0x" + A1, "0x" + A2, Decimal(4), Decimal(9), "0x" + OP, token],
+        [5, "ERC-1155", "0x" + A1, "0x" + A2, Decimal(10), Decimal(1), "0x" + OP, token],
+        [5, "ERC-1155", "0x" + A1, "0x" + A2, Decimal(20), Decimal(2), "0x" + OP, token],
     ]
 
 
