@@ -8,22 +8,20 @@ Re-expresses (from scratch, columnar) the scalar helpers of the reference:
 
 Hot-path policy (BASELINE.json input_hint — no per-row Python):
 - values that fit in 63 bits → native ``conv`` (JVM, whole-stage codegen);
-- uint256 → Arrow-batched pandas UDF parsing into Decimal(38,0) with
-  overflow→NULL (lossy over 38 digits, same compromise as the reference's
-  BigQuery schema, /root/reference/docs/limitations.md:9-12).
+- uint256 → chunked ``conv`` + try_* Decimal(38,0) arithmetic, ALSO pure
+  JVM (r6: this was an Arrow-batched pandas UDF — correct, but the
+  ArrowEvalPython node it planted made EVERY row of every decode cross the
+  JVM↔Python boundary even though >99.9% of real values take the fast
+  path; guide §4.1). Overflow past 38 digits → NULL, same compromise as
+  the reference's BigQuery schema (/root/reference/docs/limitations.md:9-12).
 """
 
 from __future__ import annotations
 
-from decimal import Decimal
-
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DecimalType, LongType
 
-_DEC38_MAX = 10**38
 
 
 def _strip0x(c: Column) -> Column:
@@ -41,57 +39,66 @@ def hex_to_long(c: Column) -> Column:
     ).otherwise(F.conv(h, 16, 10).cast(LongType()))
 
 
-@pandas_udf(DecimalType(38, 0))
-def _hex_to_dec38_udf(s: pd.Series) -> pd.Series:
-    def parse(x):
-        try:
-            if isinstance(x, str) and x.startswith("~0x"):
-                # two's-complement marker emitted by the signed ABI decode
-                # (parsed_logs._decode_param): value = hex - 2^(4*width)
-                h = x[3:]
-                v = int(h, 16) - (1 << (4 * len(h)))
-            elif isinstance(x, str) and x.startswith("0x"):
-                v = int(x, 16)
-            else:
-                v = int(x)
-        except (ValueError, TypeError):
-            return None
-        # overflow channel: NULL above Decimal(38,0), mirroring the overflow
-        # diagnostics path of clickhouse_exporter.py:120-143
-        return Decimal(v) if -_DEC38_MAX < v < _DEC38_MAX else None
-
-    # na_action skips the Python call entirely for rows the JVM fast path in
-    # hex_to_dec38 already handled (they arrive as NULL)
-    return s.map(parse, na_action="ignore")
-
-
 def hex_to_dec38(c: Column) -> Column:
-    """0x-hex (or decimal string) → Decimal(38,0); NULL on overflow/garbage.
+    """0x-hex (or decimal string, or the '~0x' two's-complement marker
+    emitted by the signed ABI decode) → Decimal(38,0); NULL on
+    overflow/garbage. ALL-JVM (whole-stage codegen), no Python boundary:
 
-    Two-tier decode (the parsed_logs.py static-decode pattern, generalized):
-    - 0x-hex with ≤ 15 significant digits (the overwhelming majority of
+    - '0x' hex with ≤ 15 significant digits (the overwhelming majority of
       real values: gas, indexes, token amounts in base units, 64-char ABI
-      words with leading zeros) → native ``conv`` inside whole-stage codegen;
-    - everything else (true uint256 giants, decimal strings, garbage) →
-      Arrow-batched pandas UDF, which receives NULL for fast-path rows so
-      the Python parse only ever touches the rare slow values.
+      words with leading zeros) → one native ``conv``;
+    - 16–39 significant digits → three 13-digit ``conv`` chunks combined
+      with try_multiply/try_add Decimal(38,0) arithmetic (try_* yields NULL
+      exactly on |v| ≥ 10^38, the same overflow channel the reference's
+      BigQuery schema documents); ≥ 40 digits is ≥ 16^39 > 10^38 → NULL;
+    - '~0x' marker: value = hex − 2^(4·width). Computed via per-digit
+      complement (translate) so a tiny negative inside a 64-char word never
+      touches big arithmetic: value = −(complement + 1);
+    - plain decimal strings (dex parsed_event contract) → try_cast.
+
+    Charset gate via translate-to-empty: one linear scan per word inside
+    codegen — the r2 rlike + regexp_replace pair ran the regex engine twice
+    per word and dominated q23 (VERDICT r2 'what's wrong #4').
     """
-    h = F.substring(c, 3, 2_000_000)
+    dec38 = DecimalType(38, 0)
+    neg = c.startswith("~0x")
+    pos = c.startswith("0x")
+    # unsigned magnitude digits: raw hex after '0x', or the digit-wise
+    # complement after '~0x' (width preserved — the marker's width IS the
+    # two's-complement modulus)
+    h = F.when(
+        neg,
+        F.translate(
+            F.lower(F.substring(c, 4, 2_000_000)),
+            "0123456789abcdef",
+            "fedcba9876543210",
+        ),
+    ).otherwise(F.substring(c, 3, 2_000_000))
+    ok_hex = (F.length(h) > 0) & (
+        F.length(F.translate(h, "0123456789abcdefABCDEF", "")) == 0
+    )
     hz = F.ltrim(h, F.lit("0"))  # strip ABI-word zero padding (JVM trim, no regex)
-    # charset gate via translate-to-empty: one linear scan per word inside
-    # codegen — the r2 rlike + regexp_replace pair ran the regex engine
-    # twice per word and dominated q23 (VERDICT r2 'what's wrong #4')
-    fast = (
-        c.startswith("0x")
-        & (F.length(h) > 0)
-        & (F.length(F.translate(h, "0123456789abcdefABCDEF", "")) == 0)
-        & (F.length(hz) <= 15)
+    nsig = F.length(hz)
+    small = F.conv(F.when(hz == "", F.lit("0")).otherwise(hz), 16, 10).cast(dec38)
+    # 16–39 significant hex digits: fixed-position 13-digit chunks of the
+    # zero-padded form (each ≤ 16^13−1 < 2^63, exact in conv);
+    # v = ((a·16^13) + b)·16^13 + d. Only the final step can overflow, and
+    # only when v itself ≥ 10^38 — try_* turns exactly that into NULL.
+    hp = F.lpad(hz, 39, "0")
+    p13 = F.lit(16**13).cast(dec38)
+    a = F.conv(F.substring(hp, 1, 13), 16, 10).cast(dec38)
+    b = F.conv(F.substring(hp, 14, 13), 16, 10).cast(dec38)
+    d = F.conv(F.substring(hp, 27, 13), 16, 10).cast(dec38)
+    big = F.try_add(F.try_multiply(F.try_add(F.try_multiply(a, p13), b), p13), d)
+    mag = F.when(nsig <= 15, small).when(nsig <= 39, big)  # else NULL
+    # '~0x': value = −(complement + 1); −1 − (10^38−1) = −10^38 overflows
+    # Decimal(38,0) → NULL, matching the strict −10^38 < v bound
+    signed = F.when(neg, F.try_subtract(F.lit(-1).cast(dec38), mag)).otherwise(mag)
+    return (
+        F.when(c.isNull(), F.lit(None).cast(dec38))
+        .when(neg | pos, F.when(ok_hex, signed))
+        .when(c.rlike("^\\s*[+-]?[0-9]+\\s*$"), c.try_cast(dec38))
     )
-    jvm = F.conv(F.when(hz == "", F.lit("0")).otherwise(hz), 16, 10).cast(
-        DecimalType(38, 0)
-    )
-    slow_in = F.when(~fast, c)  # NULL for fast rows — skipped by the UDF
-    return F.when(fast, jvm).otherwise(_hex_to_dec38_udf(slow_in))
 
 
 def hex_to_double(c: Column) -> Column:

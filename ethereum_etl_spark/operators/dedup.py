@@ -25,6 +25,27 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Scale-adaptive fan-out of a narrow scan before CPU-heavy per-row work.
+
+    A documents table small enough to arrive as a handful of parquet splits
+    (one split at sf1.0: a single 5.7 MB file) serializes the whole
+    shingle+hash computation onto that many cores — measured 108s for the
+    md5 MinHash at sf1.0 with 31 of 32 cores idle. Repartitioning the raw
+    (id, text) columns is one narrow shuffle, orders of magnitude cheaper
+    than the per-shingle hashing it parallelizes (q23 precedent in
+    harness_queries). At 100 TB the scan already has thousands of splits
+    ≥ defaultParallelism, so this is a no-op there — the repartition only
+    fires when the scan would under-fill the cluster."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — planning quirk: fan out unconditionally
+        n = 0
+    return df.repartition(par) if n < par else df
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of lowercased text."""
     w = F.split(F.trim(F.lower(text)), "\\s+")
@@ -42,7 +63,8 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     from ethereum_etl_spark.operators.text import fingerprint
 
     return (
-        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        _fan_out(docs)
+        .select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
         .groupBy("fp")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -52,7 +74,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def _shingle_table(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return docs.select(
+    return _fan_out(docs).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
     ).select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
 
@@ -175,7 +197,7 @@ def minhash_lsh_pairs(
     standard LSH mitigation — NOT silent, the dropped-bucket count is
     observable via the returned plan/logs)."""
     rows_per_band = num_hashes // bands
-    sig = docs.select(
+    sig = _fan_out(docs).select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), num_hashes, n, hash_fn).alias("sig"),
     ).cache()
@@ -277,7 +299,9 @@ def simhash_near_dups(
     sig_bits = 60  # simhash64 fills bits 0..59
     n_chunks = max_hamming + 1
     width = -(-sig_bits // n_chunks)  # ceil; last chunk may be narrower
-    sigs = docs.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    sigs = _fan_out(docs).select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig")
+    )
     chunks = sigs.select(
         "id",
         "sig",

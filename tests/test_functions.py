@@ -69,6 +69,22 @@ def test_hex_to_dec38(spark):
         ("0xzz", None),
         (str(10**38 - 1), Decimal(10**38 - 1)),
         (str(10**38), None),  # decimal-string overflow
+        # r6 all-JVM chunked path (the pandas UDF slow tier is gone): pins
+        # for the 16–39-significant-digit conv-chunk arithmetic and the
+        # '~0x' two's-complement translate path
+        (hex(10**38 - 1), Decimal(10**38 - 1)),  # max representable
+        (hex(10**38), None),  # exact overflow boundary
+        (hex(2**126), Decimal(2**126)),  # 32 hex digits, fits
+        ("0x" + "f" * 32, None),  # 3.4e38 > Decimal(38,0)
+        ("0x" + "f" * 64, None),  # uint256 max → overflow NULL
+        ("~0x" + "f" * 64, Decimal(-1)),  # int256 -1 (64-char width)
+        ("~0x" + "f" * 63 + "e", Decimal(-2)),
+        ("~0x" + "8" + "0" * 63, None),  # int256 min → overflow NULL
+        ("~0xff", Decimal(-1)),  # narrow width: 255 - 2^8
+        ("~0x80", Decimal(-128)),
+        ("~0x", None),
+        ("-42", Decimal(-42)),  # signed decimal string
+        ("0xABCDEF", Decimal(0xABCDEF)),  # uppercase hex digits
     ]
     df = spark.createDataFrame([(c[0],) for c in cases], ["h"])
     vals = [r[0] for r in df.select(hex_to_dec38(F.col("h"))).collect()]
