@@ -101,6 +101,31 @@ def hex_to_dec38(c: Column) -> Column:
     )
 
 
+def word_to_dec38(word: Column) -> Column:
+    """Bare (0x-less) hex WORD → Decimal(38,0); NULL on garbage/overflow.
+
+    The ABI-word specialization of :func:`hex_to_dec38` (r6): transfer/log
+    decode feeds words straight from topic/data slicing, so the general
+    function's '0x' concat + prefix re-strip round-trip, '~0x' sign branch
+    and decimal-string branch are dead weight per row — identical results
+    for every input this path can produce (``hex_to_dec38('0x'||w)`` ≡
+    ``word_to_dec38(w)`` for 0x-less w; pinned in test_functions)."""
+    dec38 = DecimalType(38, 0)
+    ok_hex = (F.length(word) > 0) & (
+        F.length(F.translate(word, "0123456789abcdefABCDEF", "")) == 0
+    )
+    hz = F.ltrim(word, F.lit("0"))
+    nsig = F.length(hz)
+    small = F.conv(F.when(hz == "", F.lit("0")).otherwise(hz), 16, 10).cast(dec38)
+    hp = F.lpad(hz, 39, "0")
+    p13 = F.lit(16**13).cast(dec38)
+    a = F.conv(F.substring(hp, 1, 13), 16, 10).cast(dec38)
+    b = F.conv(F.substring(hp, 14, 13), 16, 10).cast(dec38)
+    d = F.conv(F.substring(hp, 27, 13), 16, 10).cast(dec38)
+    big = F.try_add(F.try_multiply(F.try_add(F.try_multiply(a, p13), b), p13), d)
+    return F.when(ok_hex, F.when(nsig <= 15, small).when(nsig <= 39, big))
+
+
 def hex_to_double(c: Column) -> Column:
     """0x-hex (ANY length, incl. the '~0x' two's-complement marker) or plain
     decimal string → double. Lossy past 2^53 ULPs but covers the full uint256

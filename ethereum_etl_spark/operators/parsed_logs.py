@@ -127,13 +127,16 @@ def _decode_param(word, ptype: str):
         # an ANSI overflow for a branch that was never selected (hit when
         # meshswap AddLiquidity's token1 shares carbondefi's bool slot)
         return F.when(
-            F.regexp_replace(word, "^0+", "") == "1", F.lit("true")
+            F.ltrim(word, F.lit("0")) == "1", F.lit("true")
         ).otherwise(F.lit("false"))
     if ptype.startswith("uint"):
         # decimal string; conv is exact through 60 bits, larger values keep
-        # the hex form (hex_to_dec38 downstream accepts both)
+        # the hex form (hex_to_dec38 downstream accepts both).
+        # ltrim('0') ≡ regexp_replace('^0+') for leading-zero strip — no
+        # regex engine per decoded param (r6; this runs once per distinct
+        # (slot, type) per log row in the streaming parse)
         return F.when(
-            F.length(F.regexp_replace(word, "^0+", "")) <= 15,
+            F.length(F.ltrim(word, F.lit("0"))) <= 15,
             F.conv(word, 16, 10),
         ).otherwise(F.concat(F.lit("0x"), word))
     if ptype.startswith("int"):
@@ -144,14 +147,14 @@ def _decode_param(word, ptype: str):
         # '~0x' two's-complement marker that hex_to_dec38 resolves exactly.
         w = F.lower(word)
         comp = F.translate(w, "0123456789abcdef", "fedcba9876543210")
-        neg = w.rlike("^[89a-f]")
-        small_mag = F.length(F.regexp_replace(comp, "^0+", "")) <= 15
+        neg = F.substring(w, 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f")
+        small_mag = F.length(F.ltrim(comp, F.lit("0"))) <= 15
         neg_small = F.concat(
             F.lit("-"),
             (F.conv(comp, 16, 10).cast("decimal(38,0)") + 1).cast("string"),
         )
         pos = F.when(
-            F.length(F.regexp_replace(w, "^0+", "")) <= 15, F.conv(w, 16, 10)
+            F.length(F.ltrim(w, F.lit("0"))) <= 15, F.conv(w, 16, 10)
         ).otherwise(F.concat(F.lit("0x"), w))
         return F.when(
             neg, F.when(small_mag, neg_small).otherwise(F.concat(F.lit("~0x"), w))
@@ -165,8 +168,11 @@ def _w_small(word):
     digits (max 2^28-1). Malformed giants must not throw under ANSI — the
     downstream (off/32).cast('int') and (ln*2).cast('int') arithmetic stays
     safely inside int range for any value this guard admits, so no cast in
-    the dynamic-tail decode can raise CAST_OVERFLOW (transfers.py rule)."""
-    return F.when(word.rlike("^0{57}"), F.conv(word, 16, 10).cast("long"))
+    the dynamic-tail decode can raise CAST_OVERFLOW (transfers.py rule).
+    Prefix memcmp ≡ rlike('^0{57}') without the regex engine (r6)."""
+    return F.when(
+        F.substring(word, 1, 57) == "0" * 57, F.conv(word, 16, 10).cast("long")
+    )
 
 
 def _decode_dynamic(head_word, ptype: str, w_arr, data):
@@ -232,7 +238,13 @@ def parse_logs(
         base = base.filter(F.col("event_name").isin(filter_for_events))
 
     base = base.withColumn(
-        "t", F.transform(F.col("topics"), lambda x: F.regexp_replace(x, "^0x", ""))
+        "t",
+        F.transform(
+            F.col("topics"),
+            # startswith+substring ≡ regexp_replace("^0x") without the
+            # regex engine per topic (r6)
+            lambda x: F.when(x.startswith("0x"), F.substring(x, 3, 2_000_000)).otherwise(x),
+        ),
     ).withColumn("w", split_to_words(F.col("data")))
 
     # Pre-decode each distinct (source, position, type-class) ONCE as its

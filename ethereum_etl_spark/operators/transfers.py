@@ -29,10 +29,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ethereum_etl_spark.functions.hex import (
-    hex_to_dec38,
     split_to_words,
     to_normalized_address,
     word_to_address,
+    word_to_dec38,
 )
 
 # keccak-derived constants (see functions/keccak.py; values asserted in tests
@@ -57,7 +57,15 @@ def extract_token_transfers(logs: DataFrame) -> DataFrame:
     topics) → token_transfers rows per TOKEN_TRANSFER_SCHEMA field set."""
 
     def t(i):  # 0x-less topic word i
-        return F.get("t", i)
+        # direct per-use strip (startswith+substring) instead of the old
+        # pre-materialized `t` array of regexp_replace("^0x") topics: only
+        # one dispatch branch evaluates per row, so slicing at the use
+        # site does 2-3 substrings instead of building (and boxing) a
+        # 4-element stripped array per row — and no regex engine (r6,
+        # guide §4.1; this is the hottest decode in both q23 and the
+        # streaming token_transfers path)
+        x = F.get("topics", i)
+        return F.when(x.startswith("0x"), F.substring(x, 3, 2_000_000)).otherwise(x)
 
     def w(i):  # data word i
         return F.get("w", i)
@@ -74,7 +82,7 @@ def extract_token_transfers(logs: DataFrame) -> DataFrame:
         *_passthrough(logs),
         F.size("topics").alias("n_topics"),
         F.lower(F.get("topics", 0)).alias("topic0"),
-        F.transform(F.col("topics"), lambda x: F.regexp_replace(x, "^0x", "")).alias("t"),
+        F.col("topics"),
         split_to_words(F.col("data")).alias("w"),
     )
 
@@ -111,8 +119,11 @@ def extract_token_transfers(logs: DataFrame) -> DataFrame:
         # below) and yield NULL otherwise so the row falls through batch_ok
         # and is skipped, matching the reference's DecodingError-skip
         # (token_transfer_extractor.py:150-157). A real log's data section
-        # is KBs, nowhere near a 2^28-byte offset.
-        return F.when(word.rlike("^0{57}"), F.conv(word, 16, 10).cast("long"))
+        # is KBs, nowhere near a 2^28-byte offset. Prefix memcmp ≡
+        # rlike('^0{57}') without the regex engine (r6).
+        return F.when(
+            F.substring(word, 1, 57) == "0" * 57, F.conv(word, 16, 10).cast("long")
+        )
 
     off_ids = (w_small(w(0)) / 32).cast("int")
     off_vals = (w_small(w(1)) / 32).cast("int")
@@ -166,7 +177,9 @@ def extract_token_transfers(logs: DataFrame) -> DataFrame:
     )
 
     def u256(word_col):
-        return hex_to_dec38(F.concat(F.lit("0x"), word_col))
+        # specialized bare-word decode: no '0x' concat round-trip, no
+        # sign/decimal-string branches (r6 — see word_to_dec38)
+        return word_to_dec38(word_col)
 
     value = u256(F.col("x.value_w"))
     # ERC-721 value-decode fallback to 0 on garbage data (:99-105)

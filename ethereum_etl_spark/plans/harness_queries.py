@@ -69,20 +69,31 @@ def _dec(c, p=18, s=4):
 )
 def q01(spark, sf):
     """W4: ReplacingMergeTree FINAL read — the canonical CDC dedup
-    (clickhouse_eth_streamer_adapter.py:81-86)."""
+    (clickhouse_eth_streamer_adapter.py:81-86).
+
+    r6: row_number()-over-window → max_by aggregation. The window plan
+    (even with Spark's WindowGroupLimit partial top-1) SORTS every row
+    inside the scan task and shuffles whole rows; max_by over the
+    (ts, event_id) ordering struct is a hash aggregate with map-side
+    partial aggregation — no sort, and only one pre-aggregated row per
+    (user_id, event_type) crosses the exchange (guide §2.3 'aggregate
+    before you shuffle'). Picks the identical row: lexicographic struct
+    max == ORDER BY ts DESC, event_id DESC first row (ts/event_id are
+    non-null; oracle-checked)."""
     e = ld(spark, sf, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "value", "ts"), F.struct("ts", "event_id")
+            ).alias("__m")
+        )
         .select(
             "user_id",
             "event_type",
-            F.col("event_id").alias("last_event_id"),
-            F.col("value").alias("last_value"),
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("last_ts_us"),
+            F.col("__m.event_id").alias("last_event_id"),
+            F.col("__m.value").alias("last_value"),
+            F.unix_micros(F.col("__m.ts").cast("timestamp")).alias("last_ts_us"),
         )
     )
 
@@ -482,19 +493,35 @@ def q18(spark, sf):
     """,
 )
 def q19(spark, sf):
-    """TPC-H Q5 flavor: star join through 2 broadcast dims + 2 fact joins."""
+    """TPC-H Q5 flavor: star join through broadcast dims, lineitem kept as
+    the PROBE side.
+
+    r6: size estimates made Catalyst broadcast the pruned LINEITEM scan
+    (the 6M-row fact table, est. ~23 MB of 3 columns < the 64 MB
+    threshold) and probe with the dim chain — the driver built a 6M-entry
+    hashed relation single-threaded, 11s at sf1.0 (plan in
+    plans/r06/q19_region_revenue_before.txt, node 20). Explicit broadcast
+    hints on the DIM side of every join force the fact table to stay
+    un-collected and un-shuffled (guide §3.1: estimates are often wrong —
+    hint the side you know is small). At larger scale the orders-side
+    broadcast stops fitting; drop that one hint and AQE picks a
+    sort-merge for the final join — the dims chain stays broadcast."""
     r = ld(spark, sf, "region")
     n = ld(spark, sf, "nation")
     c = ld(spark, sf, "customer")
     o = ld(spark, sf, "orders")
     li = ld(spark, sf, "lineitem")
     rev = _dec("l_extendedprice", 18, 2) * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    ords = o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey).select(
+        "o_orderkey", "r_name"
+    )
     return (
-        F.broadcast(r)
-        .join(F.broadcast(n), n.n_regionkey == r.r_regionkey)
-        .join(c, c.c_nationkey == n.n_nationkey)
-        .join(o, o.o_custkey == c.c_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(F.broadcast(ords), li.l_orderkey == ords.o_orderkey)
         .groupBy("r_name")
         .agg(
             F.round(F.sum(rev).cast("double"), 2).alias("revenue"),

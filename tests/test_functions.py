@@ -91,6 +91,38 @@ def test_hex_to_dec38(spark):
     assert vals == [c[1] for c in cases]
 
 
+def test_word_to_dec38_matches_general(spark):
+    """word_to_dec38(w) ≡ hex_to_dec38('0x'||w) for bare ABI words — the
+    contract that lets the transfer decode use the specialized form (r6)."""
+    from ethereum_etl_spark.functions.hex import word_to_dec38
+
+    words = [
+        "0" * 64,
+        "0" * 61 + "fff",
+        hex(10**38 - 1)[2:].rjust(64, "0"),
+        hex(10**38)[2:].rjust(64, "0"),
+        "f" * 64,
+        "f" * 32,
+        hex(2**126)[2:],
+        "de0b6b3a7640000",
+        "0",
+        "",
+        "zz",
+        "ABCDEF",
+        None,
+    ]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = [
+        (r[0], r[1])
+        for r in df.select(
+            word_to_dec38(F.col("w")),
+            hex_to_dec38(F.concat(F.lit("0x"), F.col("w"))),
+        ).collect()
+    ]
+    for a, b in got:
+        assert a == b
+
+
 def test_hex_to_double(spark):
     import pytest
 
