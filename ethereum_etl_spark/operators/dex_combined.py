@@ -130,23 +130,31 @@ def _fam_case(families: list[str], events: dict[str, tuple[str, ...]] | None = N
     return expr
 
 
-def extract_dex_trades_combined(
-    parsed_logs: DataFrame,
-    pools: DataFrame,
-    tokens: DataFrame,
-    pool_balances: DataFrame | None = None,
-    families: list[str] | None = None,
-) -> DataFrame:
-    """All requested AMM families → dex_trades rows in one join tree.
-
-    ``families`` defaults to every key of FAMILY_EVENTS; the streamer passes
-    the subset whose topic0s actually occur in the batch so the CASE chains
-    stay as small as the batch needs. Output schema = TRADE_SHAPE_DDL, row
-    set identical to unioning the individual extractors.
-    """
+def _norm_families(families: list[str] | None) -> list[str]:
     families = [f for f in FAMILY_EVENTS if families is None or f in set(families)]
     if not families:
         raise ValueError("families must be non-empty")
+    return families
+
+
+def prepare_marked(parsed_logs: DataFrame, families: list[str] | None = None) -> DataFrame:
+    """Family dispatch + the shared Sync-reserve / v3-sqrtPrice window, with
+    UNSCALED marks (``__res0_raw``/``__res1_raw``/``__sqrtp``); Sync rows
+    dropped after feeding the window.
+
+    Pools-INDEPENDENT by construction (r6): the window is keyed
+    (contract_address, transaction_hash) and pool-membership is a property
+    of the contract, so running it before the pools join sees extra marks
+    only from contracts whose family rows the pools join would drop anyway
+    (in-event families never read reserve/sqrtp marks). That makes this
+    half of the extract buildable on the streamer's PREFETCH thread,
+    overlapped with the previous batch's merges — it carries the window
+    exchange and the family-dispatch codegen, which were serial inside the
+    dex critical chain. Decimal scaling happens in
+    extract_dex_trades_combined after the token joins, with the consuming
+    row's own scale — identical arithmetic to the fused form.
+    """
+    families = _norm_families(families)
     fams = set(families)
     pe = F.col("parsed_event")
     fam = F.col("__fam")
@@ -168,6 +176,66 @@ def extract_dex_trades_combined(
     ev = parsed_logs.withColumn(
         "__fam", _fam_case(list(events_map), events_map)
     ).filter(F.col("__fam").isNotNull())
+
+    win_cols: dict = {}
+    sync_fams = set(events_map) & {"uniswap_v2", "dmm", "sushiswap_bento"}
+    if sync_fams:
+        w_excl = (
+            Window.partitionBy("contract_address", "transaction_hash")
+            .orderBy("log_index")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        is_sync = fam.isin(*sorted(sync_fams)) & (F.col("event_name") == "Sync")
+        win_cols["__res0_raw"] = F.last(
+            F.when(is_sync, _pe("reserve0")), ignorenulls=True
+        ).over(w_excl)
+        win_cols["__res1_raw"] = F.last(
+            F.when(is_sync, _pe("reserve1")), ignorenulls=True
+        ).over(w_excl)
+    else:
+        win_cols["__res0_raw"] = F.lit(None).cast("double")
+        win_cols["__res1_raw"] = F.lit(None).cast("double")
+    if "uniswap_v3" in fams:
+        from ethereum_etl_spark.functions.hex import hex_to_double
+
+        w_incl = (
+            Window.partitionBy("contract_address", "transaction_hash")
+            .orderBy("log_index")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        sqrtp_mark = F.when(
+            (fam == "uniswap_v3") & (F.col("event_name") == "Swap"),
+            hex_to_double(pe["sqrtPriceX96"]),
+        )
+        win_cols["__sqrtp"] = F.last(sqrtp_mark, ignorenulls=True).over(w_incl)
+
+    # Sync rows only feed the window
+    return ev.withColumns(win_cols).filter(F.col("event_name") != "Sync")
+
+
+def extract_dex_trades_combined(
+    parsed_logs: DataFrame,
+    pools: DataFrame,
+    tokens: DataFrame,
+    pool_balances: DataFrame | None = None,
+    families: list[str] | None = None,
+    marked: DataFrame | None = None,
+) -> DataFrame:
+    """All requested AMM families → dex_trades rows in one join tree.
+
+    ``families`` defaults to every key of FAMILY_EVENTS; the streamer passes
+    the subset whose topic0s actually occur in the batch so the CASE chains
+    stay as small as the batch needs. ``marked`` (optional) is a pre-built
+    :func:`prepare_marked` frame for the SAME (parsed_logs, families) —
+    the streamer hands in a prefetched checkpoint so the window/dispatch
+    half runs off the critical path. Output schema = TRADE_SHAPE_DDL, row
+    set identical to unioning the individual extractors.
+    """
+    families = _norm_families(families)
+    fams = set(families)
+    pe = F.col("parsed_event")
+    fam = F.col("__fam")
+    ev = marked if marked is not None else prepare_marked(parsed_logs, families)
 
     # ---- ONE pools attach (LEFT; inner-join semantics restored below) ----
     # Missing dimension columns are projected as NULL on the (tiny) pools
@@ -259,48 +327,17 @@ def extract_dex_trades_combined(
     # withColumns pass (a pass may not reference columns it creates)
     s0x = F.pow(F.lit(10.0), F.coalesce("__d0", F.lit(18)))
     s1x = F.pow(F.lit(10.0), F.coalesce("__d1", F.lit(18)))
-    scale_cols = {"__s0": s0x, "__s1": s1x}
+    # reserve marks scaled by the CONSUMING row's own decimals — the window
+    # itself ran (unscaled) in prepare_marked; NULL marks stay NULL through
+    # the division, identical to the previously fused `last(...)/s0x`
+    scale_cols = {
+        "__s0": s0x,
+        "__s1": s1x,
+        "__res0": F.col("__res0_raw") / s0x,
+        "__res1": F.col("__res1_raw") / s1x,
+    }
     s0, s1 = F.col("__s0"), F.col("__s1")
-
-    # ---- ONE window shuffle: v2/bento Sync reserves + v3 sqrtPriceX96 ----
-    # The Sync marks are inlined into the window arguments and every derived
-    # column lands in ONE withColumns pass (single tree re-analysis).
-    win_cols: dict = {}
-    sync_fams = set(events_map) & {"uniswap_v2", "dmm", "sushiswap_bento"}
-    if sync_fams:
-        w_excl = (
-            Window.partitionBy("contract_address", "transaction_hash")
-            .orderBy("log_index")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        is_sync = fam.isin(*sorted(sync_fams)) & (F.col("event_name") == "Sync")
-        win_cols["__res0"] = (
-            F.last(F.when(is_sync, _pe("reserve0")), ignorenulls=True).over(w_excl) / s0x
-        )
-        win_cols["__res1"] = (
-            F.last(F.when(is_sync, _pe("reserve1")), ignorenulls=True).over(w_excl) / s1x
-        )
-    else:
-        win_cols["__res0"] = F.lit(None).cast("double")
-        win_cols["__res1"] = F.lit(None).cast("double")
-    if "uniswap_v3" in fams:
-        from ethereum_etl_spark.functions.hex import hex_to_double
-
-        w_incl = (
-            Window.partitionBy("contract_address", "transaction_hash")
-            .orderBy("log_index")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        sqrtp_mark = F.when(
-            (fam == "uniswap_v3") & (F.col("event_name") == "Swap"),
-            hex_to_double(pe["sqrtPriceX96"]),
-        )
-        win_cols["__sqrtp"] = F.last(sqrtp_mark, ignorenulls=True).over(w_incl)
-
-    # Sync rows only feed the window
-    ev = ev.withColumns({**scale_cols, **win_cols}).filter(
-        F.col("event_name") != "Sync"
-    )
+    ev = ev.withColumns(scale_cols)
 
     # ---- per-family arithmetic ----
     en = F.col("event_name")

@@ -57,6 +57,16 @@ def get_spark(
         # with these, decode stages fan out to all cores)
         .config("spark.sql.files.maxPartitionBytes", "16777216")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16777216")
+        # respect the advisory size when coalescing instead of fanning every
+        # small shuffle out to default parallelism ("parallelismFirst" is a
+        # latency-over-efficiency default): the replay runs ~17 concurrent
+        # per-entity merges whose exchanges are each a few MB — targeting 32
+        # partitions per stage produced ~38k tasks/replay of ~50 KB output
+        # files each (event-log profile, r6); size-first coalescing cuts
+        # per-stage task counts and output file counts with no loss of
+        # parallelism at scale (big exchanges still split by the 16 MB
+        # advisory; concurrent merges fill the cores)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         # decode(unhex(...), 'UTF-8') on malformed bytes THROWS under Spark 4

@@ -289,9 +289,73 @@ class ChainStreamer:
             df = self._prepare_batch(
                 tailer.read_range(after_target, nt), after_target, nt
             )
-            return {"lo": after_target, "hi": nt, "df": df, "srows": self._batch_stats(df)}
+            srows = self._batch_stats(df)
+            pre = {"lo": after_target, "hi": nt, "df": df, "srows": srows}
+            # pre-build the parsed-log checkpoint for the predicted batch on
+            # this thread, overlapping the CURRENT batch's merges: the parse
+            # is the root of the dex critical chain (parsed → dims → trades
+            # → pricing → owner), and building it in-loop serialized ~6 s
+            # per batch behind the merge phase (r6 event-log profile)
+            try:
+                pre["parsed"] = self._prebuild_parsed(df, srows)
+            except Exception:  # noqa: BLE001 — fall back to the in-loop build
+                pre["parsed"] = None
+            return pre
 
         self._prefetch = self._prefetch_pool.submit(task)
+
+    def _prebuild_parsed(self, batch: DataFrame, srows) -> dict | None:
+        """The exact parsed (and, when trades are maintained, marked)
+        frames _derive would build for this batch, eagerly checkpointed —
+        or None when the batch needs no parse (no dex entities wanted / no
+        dex topics present) or when it carries reorg rows (the in-loop
+        decode then runs over the winner-filtered batch, which this
+        pre-build cannot reproduce)."""
+        want = set(self.cfg.entity_types)
+        if "dex_pool" not in want and "dex_trade" not in want:
+            return None
+        if any(int(r["nr"]) > 0 for r in srows):
+            return None
+        from ethereum_etl_spark.operators.dex import FACTORY_ABIS
+        from ethereum_etl_spark.operators.dex_combined import FAMILY_ABIS
+        from ethereum_etl_spark.operators.parsed_logs import build_inventory, parse_logs
+        from ethereum_etl_spark.sources.decode import decode_entity, drop_null_keys
+
+        present_t0s = {
+            t for r in srows for t in (r["t0s"] if "t0s" in r.asDict() else []) if t
+        }
+        factory_hit = bool({a.topic0 for a in FACTORY_ABIS} & present_t0s)
+        present_families = [
+            f for f, abis in FAMILY_ABIS.items()
+            if {a.topic0 for a in abis} & present_t0s
+        ]
+        if not factory_hit and not present_families:
+            return None
+        logs = drop_null_keys(
+            decode_entity(
+                batch, "log", ops=("upsert", "reorg"),
+                extra_fields=self.cfg.extra_entity_fields.get("log"),
+                uint256_sidecar=self.cfg.uint256_sidecar,
+            ),
+            "log",
+        )
+        all_abis = list(FACTORY_ABIS) + [
+            a for f in present_families for a in FAMILY_ABIS[f]
+        ]
+        inv = build_inventory(self.spark, all_abis)
+        parsed = parse_logs(logs, inv, all_abis).localCheckpoint(eager=True)
+        marked = None
+        if present_families and "dex_trade" in want:
+            # the pools-independent half of the combined extract (family
+            # dispatch + Sync/sqrtPrice window) — see prepare_marked; built
+            # here so its window exchange and dispatch codegen run
+            # overlapped with the previous batch's merges too
+            from ethereum_etl_spark.operators.dex_combined import prepare_marked
+
+            marked = prepare_marked(parsed, present_families).localCheckpoint(
+                eager=True
+            )
+        return {"parsed": parsed, "marked": marked}
 
     def _take_prefetch(self, watermark: int):
         """Consume a matching prefetch; discard (and unpersist) a stale one."""
@@ -488,6 +552,7 @@ class ChainStreamer:
         get,
         aux_cache: list | None = None,
         present_t0s: set | None = None,
+        pre_parsed=None,
     ) -> dict[str, dict]:
         """Entity name → {df, merge opts} (decode + enrich + stamp).
 
@@ -613,6 +678,13 @@ class ChainStreamer:
             )
         present_families: list = []
         dex_cell: dict = {}  # per-batch memo shared by discovery + trades
+        if pre_parsed is not None:
+            # parse (+ marked window frame) pre-built and checkpointed by
+            # the prefetch thread, overlapped with the previous batch's
+            # merges — seed the memo so they are free on the critical path
+            dex_cell["parsed"] = pre_parsed["parsed"]
+            if pre_parsed.get("marked") is not None:
+                dex_cell["marked"] = pre_parsed["marked"]
         dex_lock = threading.RLock()
         # per-step build seconds → lineage dex_step_secs (the dict object is
         # shared with the lineage writer and filled lazily as merges demand
@@ -910,6 +982,9 @@ class ChainStreamer:
                             else None
                         ),
                         families=present_families,
+                        # prefetched window/dispatch half when available
+                        # (reorg-free batches) — else the extractor fuses it
+                        marked=dex_cell.get("marked"),
                     ).select(
                         "block_number", "transaction_hash",
                         F.col("log_index").cast("int").alias("log_index"),
@@ -1105,20 +1180,52 @@ class ChainStreamer:
             # to streaming-state candles (SURVEY §7 'reorg vs streaming
             # state').
             batch_tt = token_transfers
+            # ONE bucket-discovery job shared by every resolution: collect
+            # the FINEST configured bucket set once, derive coarser sets by
+            # integer flooring driver-side (exact — every configured
+            # coarser width is a multiple of the finest, so
+            # floor(fine_bucket/secs)*secs == floor(ts/secs)*secs). The
+            # four per-resolution distinct+collect jobs this replaces were
+            # pure serial latency in the candle merge threads (r6).
+            candle_cell: dict = {}
+            candle_lock = threading.Lock()
+            fine_secs = min(CANDLE_BUCKETS[b][1] for b in self.cfg.candle_buckets)
+
+            def _fine_buckets():
+                with candle_lock:
+                    if "fine" not in candle_cell:
+                        from pyspark.sql import functions as SF
+
+                        candle_cell["fine"] = [
+                            r[0]
+                            for r in batch_tt.select(
+                                (
+                                    SF.floor(SF.col("block_timestamp") / fine_secs)
+                                    * fine_secs
+                                ).alias("b")
+                            )
+                            .distinct()
+                            .collect()
+                            if r[0] is not None
+                        ]
+                return candle_cell["fine"]
 
             def _candles(duration, secs):
                 from pyspark.sql import functions as SF
 
                 from ethereum_etl_spark.operators.candles import ohlcv
 
-                buckets = [
-                    r[0]
-                    for r in batch_tt.select(
-                        (SF.floor(SF.col("block_timestamp") / secs) * secs).alias("b")
-                    )
-                    .distinct()
-                    .collect()
-                ]
+                if secs % fine_secs == 0:
+                    buckets = sorted({b // secs * secs for b in _fine_buckets()})
+                else:  # non-multiple custom bucket: per-resolution discovery
+                    buckets = [
+                        r[0]
+                        for r in batch_tt.select(
+                            (SF.floor(SF.col("block_timestamp") / secs) * secs).alias("b")
+                        )
+                        .distinct()
+                        .collect()
+                    ]
                 if not buckets:
                     return None, {}
                 lo_b, hi_b = min(buckets), max(buckets)
@@ -1175,6 +1282,7 @@ class ChainStreamer:
         t0 = time.time()
         pre = self._take_prefetch(watermark)
         pre_srows = None
+        pre_parsed = None
         # crash-replay pinning: a persisted intent for THIS watermark means a
         # previous attempt planned (and possibly partially committed) the
         # batch — reuse its exact range so the batch_id matches and every
@@ -1186,6 +1294,7 @@ class ChainStreamer:
             target = pinned
             if pre is not None and pre["hi"] == target:
                 batch, pre_srows = pre["df"], pre["srows"]
+                pre_parsed = pre.get("parsed")
             else:
                 if pre is not None:
                     self._discard_batch(pre["df"])
@@ -1197,10 +1306,12 @@ class ChainStreamer:
             # + stats are already in hand (a stale head only shrinks the
             # range — correct, the next cycle catches the rest)
             target, batch, pre_srows = pre["hi"], pre["df"], pre["srows"]
+            pre_parsed = pre.get("parsed")
         else:
             target = tailer.compute_target(watermark, allow_skip=allow_skip)
             if pre is not None and target == pre["hi"]:
                 batch, pre_srows = pre["df"], pre["srows"]
+                pre_parsed = pre.get("parsed")
             elif pre is not None:
                 self._discard_batch(pre["df"])
             if target is None:
@@ -1214,7 +1325,9 @@ class ChainStreamer:
         # predict + read + stat the NEXT range while this batch processes
         self._prefetch_next(tailer, target)
         batch_id = f"{watermark}-{target}"
-        info = self._apply_batch(batch, batch_id, pre_srows=pre_srows)
+        info = self._apply_batch(
+            batch, batch_id, pre_srows=pre_srows, pre_parsed=pre_parsed
+        )
         # watermark AFTER sink commit (streamer.py:128-132)
         self.watermarks.set(target)
         self.lineage.record(
@@ -1232,11 +1345,14 @@ class ChainStreamer:
         batch_id: str,
         force_delete_blocks: list[int] | None = None,
         pre_srows=None,
+        pre_parsed=None,
     ) -> dict:
         """Decode → enrich → MERGE one batch of WAL rows. Returns lineage
         info. ``force_delete_blocks``: treat these block numbers as reorged
         regardless of op (the verifier repair path). ``pre_srows``: batch
-        stats already computed by the prefetch thread."""
+        stats already computed by the prefetch thread; ``pre_parsed``: the
+        parsed-log checkpoint pre-built by the same thread (only for
+        reorg-free batches — see _prebuild_parsed)."""
         phase_secs: dict[str, float] = {}
         __t = time.time()
         # a staged batch (entity-partitioned parquet spill) is its own
@@ -1318,7 +1434,10 @@ class ChainStreamer:
         present_t0s = {
             t for r in srows for t in (r["t0s"] if "t0s" in r.asDict() else []) if t
         }
-        derived = self._derive(get, aux_cache, present_t0s=present_t0s)
+        derived = self._derive(
+            get, aux_cache, present_t0s=present_t0s,
+            pre_parsed=None if has_reorg else pre_parsed,
+        )
         phase_secs["plan"] = round(time.time() - __t, 3)
         __t = time.time()
 
